@@ -1,0 +1,201 @@
+"""Quaternion / SO(3) / dual-quaternion algebra (JAX, wxyz convention).
+
+Pure-math replacement for the reference's pytorch3d + pypose dependency
+surface: ``matrix_to_quaternion``/``quaternion_to_matrix``/``quaternion_apply``
+(pytorch3d, used throughout custom/threestudio-dreammesh4d/geometry/sugar.py),
+SO(3) Log/Exp rotation fusion (dynamic_sugar.py:877-889), and the batched dual
+quaternion algebra in utils/dual_quaternions.py:24-269.
+
+Convention: quaternions are (w, x, y, z) throughout this framework — the 3DGS
+and pytorch3d standard.  (The reference juggles wxyz<->xyzw for pypose,
+dynamic_sugar.py:669-676; we avoid that entirely.)
+
+All functions broadcast over leading batch dims and are jit/vmap-safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + eps)
+
+
+def quat_standardize(q: jnp.ndarray) -> jnp.ndarray:
+    """Force w >= 0 (q and -q are the same rotation)."""
+    return jnp.where(q[..., :1] < 0, -q, q)
+
+
+def quat_conjugate(q: jnp.ndarray) -> jnp.ndarray:
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], q.dtype)
+
+
+def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product a ⊗ b (wxyz)."""
+    aw, ax, ay, az = (a[..., i] for i in range(4))
+    bw, bx, by, bz = (b[..., i] for i in range(4))
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        -1,
+    )
+
+
+def quat_apply(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Rotate points p (...,3) by unit quaternions q (...,4).
+
+    Uses the expanded form p' = p + 2 w (v × p) + 2 v × (v × p) — cheaper than
+    two Hamilton products."""
+    w = q[..., :1]
+    v = q[..., 1:]
+    uv = jnp.cross(v, p)
+    uuv = jnp.cross(v, uv)
+    return p + 2.0 * (w * uv + uuv)
+
+
+def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (wxyz) -> rotation matrix (...,3,3).  Matches the 3DGS
+    ``build_rotation`` (gaussian_base.py covariance path) and pytorch3d."""
+    w, x, y, z = (q[..., i] for i in range(4))
+    xx, yy, zz = x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    m = jnp.stack(
+        [
+            1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
+        ],
+        -1,
+    )
+    return m.reshape(q.shape[:-1] + (3, 3))
+
+
+def matrix_to_quat(m: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (...,3,3) -> unit quaternion (wxyz), branch-free.
+
+    Uses the standard four-candidate construction (as in pytorch3d
+    ``matrix_to_quaternion``) and selects the numerically best candidate, so it
+    is safe under jit (no data-dependent branching)."""
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 1e-12))
+
+    qw = safe_sqrt(1.0 + tr) / 2.0
+    qx = safe_sqrt(1.0 + m00 - m11 - m22) / 2.0
+    qy = safe_sqrt(1.0 - m00 + m11 - m22) / 2.0
+    qz = safe_sqrt(1.0 - m00 - m11 + m22) / 2.0
+
+    q0 = jnp.stack([qw, (m21 - m12) / (4 * qw), (m02 - m20) / (4 * qw), (m10 - m01) / (4 * qw)], -1)
+    q1 = jnp.stack([(m21 - m12) / (4 * qx), qx, (m01 + m10) / (4 * qx), (m02 + m20) / (4 * qx)], -1)
+    q2 = jnp.stack([(m02 - m20) / (4 * qy), (m01 + m10) / (4 * qy), qy, (m12 + m21) / (4 * qy)], -1)
+    q3 = jnp.stack([(m10 - m01) / (4 * qz), (m02 + m20) / (4 * qz), (m12 + m21) / (4 * qz), qz], -1)
+
+    cand = jnp.stack([q0, q1, q2, q3], -2)  # (...,4,4)
+    score = jnp.stack([qw, qx, qy, qz], -1)  # (...,4)
+    idx = jnp.argmax(score, axis=-1)
+    q = jnp.take_along_axis(cand, idx[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
+    return quat_standardize(quat_normalize(q))
+
+
+# ---------------------------------------------------------------------------
+# so(3) log/exp on quaternions
+# ---------------------------------------------------------------------------
+
+
+def quat_log(q: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Log map: unit quaternion -> rotation vector (...,3) = axis * angle.
+
+    Equivalent to pypose ``SO3.Log()`` (used in fuse_rotations,
+    dynamic_sugar.py:877-889)."""
+    q = quat_standardize(quat_normalize(q))
+    w = jnp.clip(q[..., :1], -1.0, 1.0)
+    v = q[..., 1:]
+    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    angle = 2.0 * jnp.arctan2(vn, w)
+    # sinc-safe scale: angle / sin(angle/2); for small angles -> 2
+    scale = jnp.where(vn > eps, angle / jnp.maximum(vn, eps), 2.0 / jnp.maximum(w, eps))
+    return v * scale
+
+
+def quat_exp(rotvec: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Exp map: rotation vector (...,3) -> unit quaternion (wxyz)."""
+    angle = jnp.linalg.norm(rotvec, axis=-1, keepdims=True)
+    half = 0.5 * angle
+    # sin(half)/angle, Taylor-safe
+    small = angle < eps
+    k = jnp.where(small, 0.5 - angle**2 / 48.0, jnp.sin(half) / jnp.maximum(angle, eps))
+    w = jnp.cos(half)
+    return jnp.concatenate([w, rotvec * k], -1)
+
+
+def fuse_rotations(neighbor_idx: jnp.ndarray, weights: jnp.ndarray, rotations: jnp.ndarray) -> jnp.ndarray:
+    """q'_i = Exp(Σ_j w_ij Log(q_{n(i,j)})) — weighted rotation blending in the
+    Lie algebra (reference dynamic_sugar.py:877-889).
+
+    neighbor_idx: (P, K) int; weights: (P, K); rotations: (..., N, 4) wxyz.
+    Returns (..., P, 4)."""
+    logs = quat_log(rotations[..., neighbor_idx, :])  # (..., P, K, 3)
+    fused = (weights[..., None] * logs).sum(-2)
+    return quat_exp(fused)
+
+
+# ---------------------------------------------------------------------------
+# Dual quaternions (for DQS skinning)
+# ---------------------------------------------------------------------------
+
+
+def dq_from_quat_translation(q_r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """σ = r + ε/2·t·r (reference dual_quaternions.py:115-131).  Returns
+    (...,8) = concat(q_r wxyz, q_d wxyz)."""
+    q_r = quat_normalize(q_r)
+    t_quat = jnp.concatenate([jnp.zeros_like(t[..., :1]), t], -1)
+    q_d = 0.5 * quat_multiply(t_quat, q_r)
+    return jnp.concatenate([q_r, q_d], -1)
+
+
+def dq_normalize(dq: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Normalize so the real part is unit and real·dual = 0."""
+    q_r, q_d = dq[..., :4], dq[..., 4:]
+    n = jnp.linalg.norm(q_r, axis=-1, keepdims=True) + eps
+    q_r = q_r / n
+    q_d = q_d / n
+    # remove non-orthogonal component: q_d <- q_d - (q_r·q_d) q_r
+    dot = (q_r * q_d).sum(-1, keepdims=True)
+    q_d = q_d - dot * q_r
+    return jnp.concatenate([q_r, q_d], -1)
+
+
+def dq_translation(dq: jnp.ndarray) -> jnp.ndarray:
+    """t = 2 · q_d ⊗ conj(q_r) (vector part) — dual_quaternions.py:219-231."""
+    q_r, q_d = dq[..., :4], dq[..., 4:]
+    t_quat = quat_multiply(2.0 * q_d, quat_conjugate(q_r))
+    return t_quat[..., 1:]
+
+
+def dq_apply(dq: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Apply unit dual quaternion rigid transform: p' = R p + t
+    (dual_quaternions.py:94-103 transform_point_simple)."""
+    return quat_apply(dq[..., :4], p) + dq_translation(dq)
+
+
+def dq_blend(dqs: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Dual-quaternion skinning blend: weighted sum with sign-consistent reals
+    (antipodality fix vs dqs[...,0,:]), then normalize.
+
+    dqs: (..., K, 8); weights: (..., K).  Returns (..., 8)."""
+    pivot = dqs[..., :1, :4]
+    sign = jnp.sign((dqs[..., :4] * pivot).sum(-1, keepdims=True))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    dqs = dqs * sign
+    blended = (weights[..., None] * dqs).sum(-2)
+    return dq_normalize(blended)
