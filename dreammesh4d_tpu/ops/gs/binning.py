@@ -1,0 +1,92 @@
+"""Tile binning for the Gaussian rasterizer, pure XLA with static shapes.
+
+Replaces the dynamic duplicate-keys + radix-sort stage of the CUDA rasterizer
+with a TPU-friendly fixed-capacity formulation:
+
+- every Gaussian emits up to ``max_tiles_per_gaussian`` (tile, depth, id)
+  tuples (its tile-AABB enumerated row-major; overflowing tiles of enormous
+  Gaussians are truncated),
+- one lexicographic ``jax.lax.sort`` over (tile_id, depth) orders all tuples
+  by tile then front-to-back depth,
+- per-tile segments are located with ``searchsorted`` and gathered into a
+  dense (num_tiles, capacity) index table with a validity mask.
+
+All shapes are static; overflow beyond ``tile_capacity`` is dropped (the
+returned ``tile_counts`` lets callers detect saturation).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TILE = 16  # pixels per tile side (matches the CUDA rasterizer's BLOCK_X/Y)
+
+
+class TileAssignment(NamedTuple):
+    tile_gauss: jnp.ndarray  # (T, K) int32 gaussian indices, front-to-back
+    tile_valid: jnp.ndarray  # (T, K) bool
+    tile_counts: jnp.ndarray  # (T,) int32 true per-tile counts (pre-truncation)
+
+
+def num_tiles(W: int, H: int) -> tuple[int, int]:
+    return (W + TILE - 1) // TILE, (H + TILE - 1) // TILE
+
+
+def bin_gaussians(
+    means2d: jnp.ndarray,
+    radii: jnp.ndarray,
+    depths: jnp.ndarray,
+    mask: jnp.ndarray,
+    W: int,
+    H: int,
+    tile_capacity: int = 512,
+    max_tiles_per_gaussian: int = 16,
+) -> TileAssignment:
+    N = means2d.shape[0]
+    tiles_x, tiles_y = num_tiles(W, H)
+    T = tiles_x * tiles_y
+    M = max_tiles_per_gaussian
+
+    r = radii.astype(jnp.float32)
+    # getRect semantics: min inclusive, max exclusive, clamped to the grid
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+
+    span_w = jnp.maximum(x1 - x0, 0)
+    span_h = jnp.maximum(y1 - y0, 0)
+    n_span = span_w * span_h
+    alive = mask & (radii > 0) & (n_span > 0)
+
+    m = jnp.arange(M, dtype=jnp.int32)[None, :]  # (1, M)
+    sw = jnp.maximum(span_w, 1)[:, None]
+    dx = m % sw
+    dy = m // sw
+    pair_valid = alive[:, None] & (m < n_span[:, None])
+    tile_ids = jnp.where(pair_valid, (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx), T)
+
+    flat_tiles = tile_ids.reshape(-1)
+    flat_depths = jnp.broadcast_to(depths[:, None], (N, M)).reshape(-1)
+    flat_gauss = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None], (N, M)
+    ).reshape(-1)
+
+    sorted_tiles, _, sorted_gauss = jax.lax.sort(
+        (flat_tiles, flat_depths, flat_gauss), num_keys=2
+    )
+
+    starts = jnp.searchsorted(sorted_tiles, jnp.arange(T, dtype=jnp.int32), side="left")
+    ends = jnp.searchsorted(sorted_tiles, jnp.arange(T, dtype=jnp.int32), side="right")
+    counts = (ends - starts).astype(jnp.int32)
+
+    k = jnp.arange(tile_capacity, dtype=jnp.int32)[None, :]  # (1, K)
+    idx = starts[:, None] + k  # (T, K)
+    valid = k < counts[:, None]
+    idx = jnp.clip(idx, 0, N * M - 1)
+    tile_gauss = jnp.where(valid, sorted_gauss[idx], N)
+
+    return TileAssignment(tile_gauss, valid, counts)

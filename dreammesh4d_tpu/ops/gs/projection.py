@@ -1,0 +1,128 @@
+"""3D Gaussian -> screen-space projection (EWA splatting), pure XLA.
+
+TPU-native replacement for the projection half of the
+diff-gaussian-rasterization CUDA extension (ashawkey fork) consumed by the
+reference renderers (custom/threestudio-dreammesh4d/renderer/
+diff_sugar_rasterizer_*.py).  Math follows the standard 3DGS formulation:
+
+- view transform / NDC via the row-major GS camera transforms
+  (see ops/cameras.py:get_cam_info_gaussian, parity with
+  threestudio/utils/ops.py:398-413),
+- 2D covariance: cov2d = J W Σ Wᵀ Jᵀ with perspective Jacobian J, plus the
+  0.3-pixel low-pass dilation,
+- radius from 3σ of the larger cov2d eigenvalue.
+
+Everything is vectorized over the N Gaussians and fully differentiable
+(radius/mask outputs are integer/bool side-outputs used for binning and
+densification statistics, not gradient paths).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..quaternion import quat_to_matrix
+
+
+class ProjectedGaussians(NamedTuple):
+    means2d: jnp.ndarray  # (N, 2) pixel coordinates
+    depths: jnp.ndarray  # (N,) view-space z
+    conics: jnp.ndarray  # (N, 3) upper-triangular inverse cov2d (a, b, c)
+    radii: jnp.ndarray  # (N,) int32 pixel radius (0 = culled)
+    mask: jnp.ndarray  # (N,) bool — in front of camera & nonzero extent
+
+
+def compute_cov3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
+    """Σ = R S Sᵀ Rᵀ from per-Gaussian log-free scales (N,3) and wxyz quats.
+
+    Parity with the reference covariance construction
+    (gaussian_base.py:233-249)."""
+    R = quat_to_matrix(quats)  # (N,3,3)
+    M = R * scales[..., None, :]  # R @ diag(s)
+    return M @ jnp.swapaxes(M, -1, -2)
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    world_view: jnp.ndarray,
+    full_proj: jnp.ndarray,
+    tan_fovx: float,
+    tan_fovy: float,
+    W: int,
+    H: int,
+    near: float = 0.2,
+) -> ProjectedGaussians:
+    """Project Gaussians through a GS-convention camera.
+
+    world_view/full_proj are the ROW-MAJOR transforms from
+    get_cam_info_gaussian (row-vector convention: p' = [p,1] @ M)."""
+    N = means3d.shape[0]
+    focal_x = W / (2.0 * tan_fovx)
+    focal_y = H / (2.0 * tan_fovy)
+
+    ones = jnp.ones((N, 1), means3d.dtype)
+    hom = jnp.concatenate([means3d, ones], -1)  # (N,4)
+
+    p_view = hom @ world_view[:, :3]  # (N,3)
+    p_hom = hom @ full_proj  # (N,4)
+    p_w = 1.0 / (p_hom[:, 3:4] + 1e-7)
+    p_ndc = p_hom[:, :3] * p_w
+
+    # ndc2Pix: ((v + 1) * S - 1) * 0.5
+    means2d = jnp.stack(
+        [((p_ndc[:, 0] + 1.0) * W - 1.0) * 0.5, ((p_ndc[:, 1] + 1.0) * H - 1.0) * 0.5], -1
+    )
+    depths = p_view[:, 2]
+
+    # EWA Jacobian with frustum clamping (standard 3DGS computeCov2D)
+    tz = depths
+    lim_x, lim_y = 1.3 * tan_fovx, 1.3 * tan_fovy
+    txtz = jnp.clip(p_view[:, 0] / tz, -lim_x, lim_x)
+    tytz = jnp.clip(p_view[:, 1] / tz, -lim_y, lim_y)
+    tx = txtz * tz
+    ty = tytz * tz
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack(
+        [
+            jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], -1),
+            jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], -1),
+        ],
+        -2,
+    )  # (N,2,3)
+
+    # world->view rotation (row-major storage => linear part is the transpose)
+    R_wv = world_view[:3, :3].T  # (3,3)
+    T = J @ R_wv  # (N,2,3)
+    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # (N,2,2)
+
+    a = cov2d[:, 0, 0] + 0.3
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1] + 0.3
+
+    det = a * c - b * b
+    det_safe = jnp.where(det > 0, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conics = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], -1)
+
+    mid = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    lambda1 = mid + disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+
+    in_front = depths > near
+    on_screen = (
+        (means2d[:, 0] + radius_f > 0)
+        & (means2d[:, 0] - radius_f < W)
+        & (means2d[:, 1] + radius_f > 0)
+        & (means2d[:, 1] - radius_f < H)
+    )
+    valid = in_front & (det > 0) & on_screen
+    radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+
+    return ProjectedGaussians(means2d, depths, conics, radii, valid)

@@ -1,0 +1,161 @@
+"""Differentiable 3D Gaussian splatting rasterizer — public API.
+
+TPU-native replacement for the ``diff-gaussian-rasterization`` CUDA extension
+(ashawkey fork) used by the reference renderers
+(custom/threestudio-dreammesh4d/renderer/diff_sugar_rasterizer_*.py:8-11,
+129-178).  Same capability surface:
+
+    rasterize(means3d, quats|cov3d, scales, opacities, colors|sh, camera)
+        -> (rgb, radii, depth, alpha)
+
+with full gradients w.r.t. means/cov/opacity/color, plus the ``radii`` /
+``visibility`` side outputs the densification logic consumes
+(gaussian_base.py:816-820).
+
+Design (TPU-first, static shapes): EWA projection (projection.py) → sort-based
+tile binning (binning.py) → chunked scan alpha compositing (blend.py).  The
+whole pipeline is jit/vmap-friendly; gradients flow via XLA autodiff with
+per-chunk rematerialization.  Screen-space gradient statistics for
+densification are exposed by `render_with_screen_grads`, which makes
+``means2d`` an explicit input of the blending closure so callers can take
+grads w.r.t. it (replacing the reference's retained ``viewspace_points``
+tensor, gaussian_base.py:816-820).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..cameras import GSCameraInfo
+from ..sh import sh_to_rgb
+from .binning import bin_gaussians
+from .blend import BlendOutput, blend_tiles
+from .projection import ProjectedGaussians, compute_cov3d, project_gaussians
+
+
+class RasterizeOutput(NamedTuple):
+    rgb: jnp.ndarray  # (H, W, C)
+    radii: jnp.ndarray  # (N,) int32
+    depth: jnp.ndarray  # (H, W, 1)
+    alpha: jnp.ndarray  # (H, W, 1)
+
+
+class RasterizerConfig(NamedTuple):
+    """Static rasterization settings (shapes baked into the jitted step)."""
+
+    width: int
+    height: int
+    tan_fovx: float
+    tan_fovy: float
+    tile_capacity: int = 512
+    max_tiles_per_gaussian: int = 16
+    chunk: int = 32
+    near: float = 0.2
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    camera: GSCameraInfo,
+    cfg: RasterizerConfig,
+    background: jnp.ndarray,
+    colors: Optional[jnp.ndarray] = None,
+    sh: Optional[jnp.ndarray] = None,
+    sh_degree: int = 0,
+    scales: Optional[jnp.ndarray] = None,
+    quats: Optional[jnp.ndarray] = None,
+    cov3d: Optional[jnp.ndarray] = None,
+) -> RasterizeOutput:
+    """Render one view.  Pass either (scales, quats) or a precomputed cov3d,
+    and either per-Gaussian colors or SH coefficients (evaluated per-Gaussian
+    toward the camera, like the CUDA rasterizer)."""
+    if cov3d is None:
+        assert scales is not None and quats is not None
+        cov3d = compute_cov3d(scales, quats)
+    if colors is None:
+        assert sh is not None
+        dirs = means3d - camera.camera_center[None, :]
+        dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-8)
+        colors = sh_to_rgb(sh_degree, sh, dirs)
+
+    proj = project_gaussians(
+        means3d, cov3d, camera.world_view_transform, camera.full_proj_transform,
+        cfg.tan_fovx, cfg.tan_fovy, cfg.width, cfg.height, cfg.near,
+    )
+    return _rasterize_projected(proj, colors, opacities, cfg, background)
+
+
+def _rasterize_projected(
+    proj: ProjectedGaussians,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    cfg: RasterizerConfig,
+    background: jnp.ndarray,
+) -> RasterizeOutput:
+    assign = bin_gaussians(
+        jax.lax.stop_gradient(proj.means2d),
+        proj.radii,
+        jax.lax.stop_gradient(proj.depths),
+        proj.mask,
+        cfg.width,
+        cfg.height,
+        cfg.tile_capacity,
+        cfg.max_tiles_per_gaussian,
+    )
+    out: BlendOutput = blend_tiles(
+        assign.tile_gauss,
+        assign.tile_valid,
+        proj.means2d,
+        proj.conics,
+        colors,
+        opacities,
+        proj.depths,
+        cfg.width,
+        cfg.height,
+        background,
+        cfg.chunk,
+    )
+    return RasterizeOutput(out.rgb, proj.radii, out.depth, out.alpha)
+
+
+def render_with_screen_grads(
+    means3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    camera: GSCameraInfo,
+    cfg: RasterizerConfig,
+    background: jnp.ndarray,
+    colors: jnp.ndarray,
+    scales: Optional[jnp.ndarray] = None,
+    quats: Optional[jnp.ndarray] = None,
+    cov3d: Optional[jnp.ndarray] = None,
+):
+    """Like :func:`rasterize`, but returns ``(output, blend_fn, proj)`` where
+    ``blend_fn(means2d)`` re-renders from explicit screen positions.  Taking
+    ``jax.grad`` of a loss through ``blend_fn`` w.r.t. ``means2d`` yields the
+    screen-space positional gradients that drive adaptive density control
+    (parity with the reference's viewspace_points.grad,
+    gaussian_base.py:816-820)."""
+    if cov3d is None:
+        cov3d = compute_cov3d(scales, quats)
+    proj = project_gaussians(
+        means3d, cov3d, camera.world_view_transform, camera.full_proj_transform,
+        cfg.tan_fovx, cfg.tan_fovy, cfg.width, cfg.height, cfg.near,
+    )
+    assign = bin_gaussians(
+        jax.lax.stop_gradient(proj.means2d), proj.radii,
+        jax.lax.stop_gradient(proj.depths), proj.mask,
+        cfg.width, cfg.height, cfg.tile_capacity, cfg.max_tiles_per_gaussian,
+    )
+
+    def blend_fn(means2d):
+        out = blend_tiles(
+            assign.tile_gauss, assign.tile_valid, means2d, proj.conics, colors,
+            opacities, proj.depths, cfg.width, cfg.height, background, cfg.chunk,
+        )
+        return RasterizeOutput(out.rgb, proj.radii, out.depth, out.alpha)
+
+    return blend_fn(proj.means2d), blend_fn, proj
