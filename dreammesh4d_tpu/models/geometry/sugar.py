@@ -1,0 +1,258 @@
+"""SuGaR geometry: 3D Gaussians bound to a triangle-mesh surface.
+
+TPU-first redesign of the reference SuGaR model
+(custom/threestudio-dreammesh4d/geometry/sugar.py:33-978).  Instead of an
+nn.Module owning its optimizer, the geometry is split into
+
+- :class:`SuGaRStatic` — immutable topology & constants built once on the host
+  (faces, barycentric layouts, SH degree…), closed over by the jitted step;
+- :class:`SuGaRParams` — the learnable pytree (vertex positions, per-Gaussian
+  2D log-scales, in-plane rotation as a complex number, SH coefficients,
+  opacity logits) optimized with optax;
+- pure derivation functions mapping (params, static) -> renderable Gaussian
+  attributes, re-traced inside the train step every iteration (no caching).
+
+Behavioural parity notes:
+- barycentric layouts for 1/3/4/6 Gaussians per triangle and the circle-radius
+  constants match sugar.py:235-276;
+- Gaussian centers = barycentric average of face vertices (sugar.py:440-455);
+- orientation: R = [face normal, c0·e01 + c1·(n×e01), -c1·e01 + c0·(n×e01)]
+  with learned complex number (c0, c1) (sugar.py:479-518);
+- scaling = [ε surface thickness, exp(s1), exp(s2)] (sugar.py:479-487);
+- opacity = sigmoid(all_densities), init 0.9999 (sugar.py:100-108);
+- SH DC initialized from mesh vertex colors (sugar.py:213-233); DC clipped at
+  ``color_clip`` like sugar.py:457-462.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...export.mesh_io import MeshData
+from ...ops.meshops import build_edge_adjacency, build_one_ring, face_normals
+from ...ops.quaternion import matrix_to_quat, quat_normalize
+from ...ops.sh import num_sh_bases, rgb_to_sh_dc
+
+# barycentric layouts + incircle radius factors (sugar.py:235-276)
+_BARY_LAYOUTS = {
+    1: (1.0 / (2.0 * np.sqrt(3.0)), [[1 / 3, 1 / 3, 1 / 3]]),
+    3: (1.0 / (2.0 * (np.sqrt(3.0) + 1.0)),
+        [[1 / 2, 1 / 4, 1 / 4], [1 / 4, 1 / 2, 1 / 4], [1 / 4, 1 / 4, 1 / 2]]),
+    4: (1.0 / (4.0 * np.sqrt(3.0)),
+        [[1 / 3, 1 / 3, 1 / 3], [2 / 3, 1 / 6, 1 / 6], [1 / 6, 2 / 3, 1 / 6],
+         [1 / 6, 1 / 6, 2 / 3]]),
+    6: (1.0 / (4.0 + 2.0 * np.sqrt(3.0)),
+        [[2 / 3, 1 / 6, 1 / 6], [1 / 6, 2 / 3, 1 / 6], [1 / 6, 1 / 6, 2 / 3],
+         [1 / 6, 5 / 12, 5 / 12], [5 / 12, 1 / 6, 5 / 12], [5 / 12, 5 / 12, 1 / 6]]),
+}
+
+
+@dataclass
+class SuGaRConfig:
+    n_gaussians_per_surface_triangle: int = 6
+    sh_degree: int = 3
+    surface_mesh_thickness_factor: float = 1e-3  # × scene spatial extent
+    init_gs_scales_s: float = 1.4
+    init_gs_opacity: float = 0.9999
+    color_clip: float = 2.0
+    learn_positions: bool = True
+    learn_scales: bool = True
+    learn_quaternions: bool = True
+    learn_opacities: bool = False
+    mesh_component_min_ratio: float = 0.75  # BFS component pruning (sugar.py:119-161)
+    spatial_extent: float = 1.0
+
+
+class SuGaRStatic(NamedTuple):
+    faces: jnp.ndarray  # (F, 3) int32
+    bary_coords: jnp.ndarray  # (G, 3)
+    n_per_face: int
+    sh_degree: int
+    surface_mesh_thickness: float
+    color_clip: float
+    # mesh-loss topology
+    edge_face_pairs: jnp.ndarray  # (E, 2) for normal consistency
+    ring_idx: jnp.ndarray  # (V, K) one-ring (laplacian / ARAP)
+    ring_mask: jnp.ndarray  # (V, K)
+
+
+class SuGaRParams(NamedTuple):
+    points: jnp.ndarray  # (V, 3) vertex positions
+    log_scales: jnp.ndarray  # (N, 2) in-plane log scales
+    complex_rot: jnp.ndarray  # (N, 2) in-plane rotation (cos, sin)-like
+    sh_dc: jnp.ndarray  # (N, 1, 3)
+    sh_rest: jnp.ndarray  # (N, B-1, 3)
+    density_logits: jnp.ndarray  # (N,)
+
+
+class GaussianAttrs(NamedTuple):
+    """Renderable per-Gaussian attributes consumed by ops.gs.rasterize."""
+
+    means3d: jnp.ndarray  # (N, 3)
+    quats: jnp.ndarray  # (N, 4) wxyz
+    scales: jnp.ndarray  # (N, 3)
+    opacities: jnp.ndarray  # (N,)
+    sh: jnp.ndarray  # (N, 3, B) channel-major for ops.sh.eval_sh
+
+
+# ---------------------------------------------------------------------------
+# Host-side construction
+# ---------------------------------------------------------------------------
+
+
+def _largest_components(faces: np.ndarray, num_verts: int, min_ratio: float) -> np.ndarray:
+    """Keep faces of connected components with ≥ min_ratio × largest-component
+    vertex count (parity with sugar.py:119-161 BFS pruning)."""
+    import collections
+
+    adj = collections.defaultdict(list)
+    for fi, (a, b, c) in enumerate(faces):
+        adj[a].append(b); adj[b].append(a)
+        adj[b].append(c); adj[c].append(b)
+        adj[c].append(a); adj[a].append(c)
+    comp = -np.ones(num_verts, np.int64)
+    n_comp = 0
+    for seed in range(num_verts):
+        if comp[seed] >= 0:
+            continue
+        stack = [seed]
+        comp[seed] = n_comp
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if comp[v] < 0:
+                    comp[v] = n_comp
+                    stack.append(v)
+        n_comp += 1
+    sizes = np.bincount(comp, minlength=n_comp)
+    keep_comps = np.where(sizes >= min_ratio * sizes.max())[0]
+    keep_mask = np.isin(comp[faces[:, 0]], keep_comps)
+    return faces[keep_mask]
+
+
+def create_sugar(
+    cfg: SuGaRConfig, mesh: MeshData, max_ring_degree: int = 16
+) -> Tuple[SuGaRParams, SuGaRStatic]:
+    """Build (params, static) from a coarse (vertex-colored) mesh."""
+    faces = np.asarray(mesh.t_pos_idx, np.int64)
+    if cfg.mesh_component_min_ratio > 0 and len(faces):
+        faces = _largest_components(faces, mesh.n_verts, cfg.mesh_component_min_ratio)
+    # compact to used vertices
+    used = np.unique(faces)
+    remap = -np.ones(mesh.n_verts, np.int64)
+    remap[used] = np.arange(len(used))
+    faces = remap[faces]
+    v_pos = np.asarray(mesh.v_pos, np.float32)[used]
+    v_rgb = mesh.v_rgb[used] if mesh.v_rgb is not None else None
+
+    F = len(faces)
+    G = cfg.n_gaussians_per_surface_triangle
+    radius_factor, bary = _BARY_LAYOUTS[G]
+    bary = np.asarray(bary, np.float32)
+    N = F * G
+    n_bases = num_sh_bases(cfg.sh_degree)
+
+    # init scales: min triangle edge × incircle factor × s (sugar.py:304-318)
+    fv = v_pos[faces]  # (F,3,3)
+    edge_len = np.linalg.norm(fv - fv[:, [1, 2, 0]], axis=-1)  # (F,3)
+    scale0 = edge_len.min(-1) * radius_factor * cfg.init_gs_scales_s  # (F,)
+    scale0 = np.clip(scale0, 1e-7, None)
+    log_scales = np.log(np.repeat(scale0[:, None], G, 1))[..., None].repeat(2, -1)  # (F,G,2)
+
+    complex_rot = np.zeros((N, 2), np.float32)
+    complex_rot[:, 0] = 1.0
+
+    # SH DC from vertex colors sampled at barycentric points (sugar.py:213-233)
+    if v_rgb is not None:
+        pts_rgb = np.einsum("gk,fkc->fgc", bary, v_rgb[faces])  # (F,G,3)
+        dc = rgb_to_sh_dc(jnp.asarray(pts_rgb.reshape(N, 3)))
+        sh_dc = np.asarray(dc, np.float32)[:, None, :]
+    else:
+        sh_dc = np.zeros((N, 1, 3), np.float32)
+    sh_rest = np.zeros((N, n_bases - 1, 3), np.float32)
+
+    op = cfg.init_gs_opacity
+    density_logits = np.full((N,), float(np.log(op / (1 - op))), np.float32)
+
+    ring = build_one_ring(faces, len(v_pos), max_ring_degree)
+    adj = build_edge_adjacency(faces)
+
+    params = SuGaRParams(
+        points=jnp.asarray(v_pos),
+        log_scales=jnp.asarray(log_scales.reshape(N, 2)),
+        complex_rot=jnp.asarray(complex_rot),
+        sh_dc=jnp.asarray(sh_dc),
+        sh_rest=jnp.asarray(sh_rest),
+        density_logits=jnp.asarray(density_logits),
+    )
+    static = SuGaRStatic(
+        faces=jnp.asarray(faces, jnp.int32),
+        bary_coords=jnp.asarray(bary),
+        n_per_face=G,
+        sh_degree=cfg.sh_degree,
+        surface_mesh_thickness=cfg.surface_mesh_thickness_factor * cfg.spatial_extent,
+        color_clip=cfg.color_clip,
+        edge_face_pairs=jnp.asarray(adj.face_pairs),
+        ring_idx=jnp.asarray(ring.neighbor_idx),
+        ring_mask=jnp.asarray(ring.neighbor_mask),
+    )
+    return params, static
+
+
+# ---------------------------------------------------------------------------
+# Derived quantities (pure, differentiable)
+# ---------------------------------------------------------------------------
+
+
+def gaussian_centers(points: jnp.ndarray, static: SuGaRStatic) -> jnp.ndarray:
+    """(N,3) barycentric combinations of face vertices (sugar.py:440-455).
+    ``points`` may carry leading batch dims."""
+    fv = points[..., static.faces, :]  # (..., F, 3, 3)
+    pts = jnp.einsum("gk,...fkc->...fgc", static.bary_coords, fv)
+    return pts.reshape(points.shape[:-2] + (-1, 3))
+
+
+def face_frame_quaternions(points: jnp.ndarray, complex_rot: jnp.ndarray,
+                           static: SuGaRStatic) -> jnp.ndarray:
+    """Per-Gaussian wxyz quaternions from the face frame ⊗ learned in-plane
+    2D rotation (sugar.py:489-518)."""
+    G = static.n_per_face
+    fv = points[..., static.faces, :]
+    n = face_normals(points, static.faces)  # (..., F, 3) = R_0
+    e01 = fv[..., 0, :] - fv[..., 1, :]
+    base1 = e01 / (jnp.linalg.norm(e01, axis=-1, keepdims=True) + 1e-12)
+    base2 = jnp.cross(n, base1)
+    base2 = base2 / (jnp.linalg.norm(base2, axis=-1, keepdims=True) + 1e-12)
+
+    c = quat_normalize(complex_rot) if complex_rot.shape[-1] == 4 else (
+        complex_rot / (jnp.linalg.norm(complex_rot, axis=-1, keepdims=True) + 1e-12)
+    )
+    c = c.reshape(c.shape[:-2] + (-1, G, 2))  # (..., F, G, 2)
+    R1 = c[..., 0:1] * base1[..., None, :] + c[..., 1:2] * base2[..., None, :]
+    R2 = -c[..., 1:2] * base1[..., None, :] + c[..., 0:1] * base2[..., None, :]
+    R0 = jnp.broadcast_to(n[..., None, :], R1.shape)
+    R = jnp.stack([R0, R1, R2], axis=-1)  # columns (..., F, G, 3, 3)
+    q = matrix_to_quat(R.reshape(R.shape[:-4] + (-1, 3, 3)))
+    return q
+
+
+def gaussian_attributes(params: SuGaRParams, static: SuGaRStatic,
+                        points_override: Optional[jnp.ndarray] = None) -> GaussianAttrs:
+    """Full renderable attribute bundle from the current parameters."""
+    pts = params.points if points_override is None else points_override
+    means = gaussian_centers(pts, static)
+    quats = face_frame_quaternions(pts, params.complex_rot, static)
+    s2 = jnp.exp(params.log_scales)
+    thickness = jnp.full(s2.shape[:-1] + (1,), static.surface_mesh_thickness, s2.dtype)
+    scales = jnp.concatenate([thickness, s2], -1)
+    opac = jax.nn.sigmoid(params.density_logits)
+    dc = jnp.clip(params.sh_dc, -static.color_clip, static.color_clip)
+    sh = jnp.concatenate([dc, params.sh_rest], -2)  # (N, B, 3)
+    sh = jnp.swapaxes(sh, -1, -2)  # (N, 3, B) for ops.sh.eval_sh
+    return GaussianAttrs(means, quats, scales, opac, sh)
