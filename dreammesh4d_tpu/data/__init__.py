@@ -1,0 +1,1 @@
+from . import image, uncond  # noqa: F401

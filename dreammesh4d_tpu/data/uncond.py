@@ -1,0 +1,214 @@
+"""Random-camera sampling (host-side numpy) + GS camera batch assembly.
+
+Behavioural parity with threestudio/data/uncond.py:27-518 (the
+``random-camera-datamodule``): spherical cameras with
+
+- elevation: 50/50 mix of uniform-in-angle and uniform-on-sphere sampling
+  (uncond.py:147-172),
+- azimuth: optionally batch-stratified (uncond.py:176-191),
+- distance/fovy uniform in range; optional camera/center/up perturbations;
+- light positions via the ``dreamfusion`` strategy (uncond.py:251-296);
+- progressive view widening (uncond.py:122-141) via ``update(step)``;
+- deterministic n-view orbits for val/test (uncond.py:347-467).
+
+Sampling runs on host numpy (it is control flow, not compute) and feeds the
+jitted step with stacked camera transforms (CameraBatch) + ray bundles.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+import dreammesh4d_tpu as ds
+
+from ..models.renderers.sugar_rasterizer import CameraBatch
+from ..ops import cameras as cam_ops
+from ..utils.schedule import C
+
+
+@dataclass
+class RandomCameraConfig:
+    height: int = 512
+    width: int = 512
+    batch_size: int = 4
+    eval_height: int = 512
+    eval_width: int = 512
+    eval_batch_size: int = 1
+    elevation_range: Tuple[float, float] = (-10.0, 80.0)
+    azimuth_range: Tuple[float, float] = (-180.0, 180.0)
+    camera_distance_range: Tuple[float, float] = (3.8, 3.8)
+    fovy_range: Tuple[float, float] = (20.0, 20.0)
+    camera_perturb: float = 0.0
+    center_perturb: float = 0.0
+    up_perturb: float = 0.0
+    light_position_perturb: float = 1.0
+    light_distance_range: Tuple[float, float] = (7.5, 10.0)
+    light_sample_strategy: str = "dreamfusion"
+    batch_uniform_azimuth: bool = False
+    progressive_until: int = 0
+    eval_elevation_deg: float = 5.0
+    eval_camera_distance: float = 3.8
+    eval_fovy_deg: float = 20.0
+    n_val_views: int = 30
+    n_test_views: int = 120
+    rays_d_normalize: bool = False
+    znear: float = 0.01
+    zfar: float = 100.0
+
+
+def camera_batch_from_c2w(c2w: np.ndarray, fovx: np.ndarray, fovy: np.ndarray,
+                          znear: float = 0.01, zfar: float = 100.0) -> CameraBatch:
+    """Stack GS camera transforms for a batch of OpenGL c2w matrices."""
+    wv, fp, cc = [], [], []
+    for i in range(len(c2w)):
+        info = cam_ops.get_cam_info_gaussian(jnp.asarray(c2w[i]), float(fovx[i]), float(fovy[i]), znear, zfar)
+        wv.append(info.world_view_transform)
+        fp.append(info.full_proj_transform)
+        cc.append(info.camera_center)
+    return CameraBatch(jnp.stack(wv), jnp.stack(fp), jnp.stack(cc))
+
+
+@ds.register("random-camera-datamodule")
+class RandomCameraSampler:
+    def __init__(self, cfg: RandomCameraConfig, seed: int = 0):
+        self.cfg = cfg
+        self.rng = np.random.RandomState(seed)
+        self.elevation_range = list(cfg.elevation_range)
+        self.azimuth_range = list(cfg.azimuth_range)
+
+    def update(self, step: int):
+        """Progressive view widening (uncond.py:122-141)."""
+        cfg = self.cfg
+        if cfg.progressive_until > 0:
+            r = min(1.0, step / cfg.progressive_until)
+            self.elevation_range = [
+                (1 - r) * cfg.eval_elevation_deg + r * cfg.elevation_range[0],
+                (1 - r) * cfg.eval_elevation_deg + r * cfg.elevation_range[1],
+            ]
+            self.azimuth_range = [
+                (1 - r) * 0.0 + r * cfg.azimuth_range[0],
+                (1 - r) * 0.0 + r * cfg.azimuth_range[1],
+            ]
+
+    def sample(self, batch_size: Optional[int] = None) -> dict:
+        cfg = self.cfg
+        B = batch_size or cfg.batch_size
+        rng = self.rng
+
+        # elevation: 50/50 uniform-angle / uniform-on-sphere (uncond.py:147-172)
+        if rng.rand() < 0.5:
+            elevation_deg = (
+                rng.rand(B) * (self.elevation_range[1] - self.elevation_range[0])
+                + self.elevation_range[0]
+            )
+        else:
+            elo = math.sin(math.radians(self.elevation_range[0]))
+            ehi = math.sin(math.radians(self.elevation_range[1]))
+            elevation_deg = np.degrees(np.arcsin(rng.rand(B) * (ehi - elo) + elo))
+
+        # azimuth: stratified option (uncond.py:176-191)
+        if cfg.batch_uniform_azimuth:
+            span = (self.azimuth_range[1] - self.azimuth_range[0]) / B
+            azimuth_deg = self.azimuth_range[0] + (np.arange(B) + rng.rand(B)) * span
+        else:
+            azimuth_deg = (
+                rng.rand(B) * (self.azimuth_range[1] - self.azimuth_range[0])
+                + self.azimuth_range[0]
+            )
+
+        distances = (
+            rng.rand(B) * (cfg.camera_distance_range[1] - cfg.camera_distance_range[0])
+            + cfg.camera_distance_range[0]
+        )
+        fovy_deg = rng.rand(B) * (cfg.fovy_range[1] - cfg.fovy_range[0]) + cfg.fovy_range[0]
+        fovy = np.radians(fovy_deg)
+
+        positions = np.stack(
+            [
+                distances * np.cos(np.radians(elevation_deg)) * np.cos(np.radians(azimuth_deg)),
+                distances * np.cos(np.radians(elevation_deg)) * np.sin(np.radians(azimuth_deg)),
+                distances * np.sin(np.radians(elevation_deg)),
+            ],
+            -1,
+        ).astype(np.float32)
+
+        center = np.zeros_like(positions) + rng.randn(B, 3).astype(np.float32) * cfg.center_perturb
+        up = np.asarray([[0, 0, 1.0]], np.float32).repeat(B, 0) + rng.randn(B, 3).astype(np.float32) * cfg.up_perturb
+        positions = positions + (rng.rand(B, 3).astype(np.float32) * 2 - 1) * cfg.camera_perturb
+
+        c2w = np.asarray(cam_ops.look_at_c2w(jnp.asarray(positions), jnp.asarray(center), jnp.asarray(up)))
+
+        # light sampling, dreamfusion strategy (uncond.py:251-296)
+        light_distances = (
+            rng.rand(B) * (cfg.light_distance_range[1] - cfg.light_distance_range[0])
+            + cfg.light_distance_range[0]
+        )
+        local_z = positions / np.linalg.norm(positions, axis=-1, keepdims=True)
+        light_direction = local_z + rng.randn(B, 3) * cfg.light_position_perturb
+        light_direction = light_direction / np.linalg.norm(light_direction, axis=-1, keepdims=True)
+        light_positions = (light_direction * light_distances[:, None]).astype(np.float32)
+
+        cam_batch = camera_batch_from_c2w(c2w, fovy, fovy, cfg.znear, cfg.zfar)
+
+        directions = [
+            np.asarray(
+                cam_ops.get_ray_directions(cfg.height, cfg.width,
+                                           0.5 * cfg.height / math.tan(0.5 * f))
+            )
+            for f in fovy
+        ]
+        rays_o, rays_d = cam_ops.get_rays(
+            jnp.asarray(np.stack(directions)), jnp.asarray(c2w), keepdim=True,
+            normalize=cfg.rays_d_normalize,
+        )
+
+        return {
+            "rand_cameras": cam_batch,
+            "c2w": jnp.asarray(c2w),
+            "rays_o": rays_o,
+            "rays_d": rays_d,
+            "elevation": jnp.asarray(elevation_deg, jnp.float32),
+            "azimuth": jnp.asarray(azimuth_deg, jnp.float32),
+            "camera_distances": jnp.asarray(distances, jnp.float32),
+            "light_positions": jnp.asarray(light_positions),
+            "fovy": jnp.asarray(fovy, jnp.float32),
+            "height": cfg.height,
+            "width": cfg.width,
+        }
+
+    def orbit(self, n_views: Optional[int] = None, height: Optional[int] = None,
+              width: Optional[int] = None) -> dict:
+        """Deterministic evaluation orbit (uncond.py:347-467)."""
+        cfg = self.cfg
+        n = n_views or cfg.n_val_views
+        H = height or cfg.eval_height
+        W = width or cfg.eval_width
+        azimuth_deg = np.linspace(0, 360.0, n + 1)[:n]
+        elevation_deg = np.full(n, cfg.eval_elevation_deg)
+        distances = np.full(n, cfg.eval_camera_distance)
+        fovy = np.radians(np.full(n, cfg.eval_fovy_deg))
+        positions = np.stack(
+            [
+                distances * np.cos(np.radians(elevation_deg)) * np.cos(np.radians(azimuth_deg)),
+                distances * np.cos(np.radians(elevation_deg)) * np.sin(np.radians(azimuth_deg)),
+                distances * np.sin(np.radians(elevation_deg)),
+            ],
+            -1,
+        ).astype(np.float32)
+        c2w = np.asarray(cam_ops.look_at_c2w(jnp.asarray(positions)))
+        cam_batch = camera_batch_from_c2w(c2w, fovy, fovy, cfg.znear, cfg.zfar)
+        return {
+            "rand_cameras": cam_batch,
+            "c2w": jnp.asarray(c2w),
+            "elevation": jnp.asarray(elevation_deg, jnp.float32),
+            "azimuth": jnp.asarray(azimuth_deg, jnp.float32),
+            "camera_distances": jnp.asarray(distances, jnp.float32),
+            "fovy": jnp.asarray(fovy, jnp.float32),
+            "height": H,
+            "width": W,
+        }

@@ -95,10 +95,20 @@ def matrix_to_quat(m: jnp.ndarray) -> jnp.ndarray:
     qy = safe_sqrt(1.0 - m00 + m11 - m22) / 2.0
     qz = safe_sqrt(1.0 - m00 - m11 + m22) / 2.0
 
-    q0 = jnp.stack([qw, (m21 - m12) / (4 * qw), (m02 - m20) / (4 * qw), (m10 - m01) / (4 * qw)], -1)
-    q1 = jnp.stack([(m21 - m12) / (4 * qx), qx, (m01 + m10) / (4 * qx), (m02 + m20) / (4 * qx)], -1)
-    q2 = jnp.stack([(m02 - m20) / (4 * qy), (m01 + m10) / (4 * qy), qy, (m12 + m21) / (4 * qy)], -1)
-    q3 = jnp.stack([(m10 - m01) / (4 * qz), (m02 + m20) / (4 * qz), (m12 + m21) / (4 * qz), qz], -1)
+    # The scores satisfy qw²+qx²+qy²+qz² = 1, so the argmax candidate has
+    # score >= 0.5 and denominator >= 2.  Clamping the (never-selected) small
+    # denominators keeps the backward pass NaN-free: with a ~0 denominator the
+    # non-selected branch would produce 0·inf = NaN cotangents under `where`/
+    # gather selection.
+    dw = jnp.maximum(4 * qw, 0.1)
+    dx = jnp.maximum(4 * qx, 0.1)
+    dy = jnp.maximum(4 * qy, 0.1)
+    dz = jnp.maximum(4 * qz, 0.1)
+
+    q0 = jnp.stack([qw, (m21 - m12) / dw, (m02 - m20) / dw, (m10 - m01) / dw], -1)
+    q1 = jnp.stack([(m21 - m12) / dx, qx, (m01 + m10) / dx, (m02 + m20) / dx], -1)
+    q2 = jnp.stack([(m02 - m20) / dy, (m01 + m10) / dy, qy, (m12 + m21) / dy], -1)
+    q3 = jnp.stack([(m10 - m01) / dz, (m02 + m20) / dz, (m12 + m21) / dz, qz], -1)
 
     cand = jnp.stack([q0, q1, q2, q3], -2)  # (...,4,4)
     score = jnp.stack([qw, qx, qy, qz], -1)  # (...,4)
