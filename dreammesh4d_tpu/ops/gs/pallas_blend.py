@@ -1,0 +1,341 @@
+"""Pallas TPU kernel for per-tile Gaussian alpha compositing (fwd + bwd).
+
+The hot loop of the rasterizer (replacing the CUDA forward/backward of
+diff-gaussian-rasterization).  Compared to the pure-XLA ``blend.py``:
+
+- the per-tile loop is bounded by the REAL per-tile count (scalar-prefetched)
+  instead of the padded capacity, and terminates early once the tile's max
+  transmittance drops below 1e-4 — on typical scenes that removes the large
+  majority of the padded work;
+- gaussians are processed in groups of 8: alpha for (8, 256) gaussian×pixel
+  pairs is evaluated vectorized on the VPU; the only sequential piece is the
+  8-step exclusive-transmittance product; per-group color accumulation is an
+  (C,8)x(8,256) matmul;
+- the backward pass is a single front-to-back REPLAY using the forward's
+  per-pixel totals (suffix trick): for gaussian i,
+      dL/dα_i = T_i·(g·c_i) − (g·S_{>i})/(1−α_i) − g_T·T_N/(1−α_i),
+  with S_{>i} = C_total − C_{≤i} — no per-gaussian state is stored: the same
+  memory-free structure as the CUDA backward but without a second
+  back-to-front walk.
+
+Layouts (VMEM-friendly): per-tile gaussian data is pre-gathered by XLA into
+``(T, K, 16)`` float32 rows [mx, my, ca, cb, cc, c_0..c_{C-1}, ..., opac, 0];
+per-tile outputs/cotangents are ``(T, C+1, 256)`` channel-major so the pixel
+axis fills two 128-lane registers.  Per-tile gaussian gradients come back as
+``(T, K, 16)`` and are scatter-added into per-gaussian buffers by XLA
+(segment-sum instead of CUDA atomics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import TILE
+
+GROUP = 8
+ROW = 16  # packed row width (params + colors), padded for alignment
+OP_COL = 14  # opacity column in the packed row
+P = TILE * TILE  # 256 pixels per tile
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+
+
+def _pixel_grid(tiles_x_ref):
+    """(1,256) pixel x / y coordinates for the current tile."""
+    t = pl.program_id(0)
+    tiles_x = tiles_x_ref[0]
+    tx = (t % tiles_x).astype(jnp.float32)
+    ty = (t // tiles_x).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 0)
+    px = (tx * TILE + xs).reshape(1, P)
+    py = (ty * TILE + ys).reshape(1, P)
+    return px, py
+
+
+def _group_geometry(rows, px, py, g0, count):
+    """Shared fwd/bwd per-group math.  rows: (GROUP, ROW).
+    Returns (alpha, power, dx, dy, live, clamped) each (GROUP, P)-shaped
+    (live/clamped boolean)."""
+    mx = rows[:, 0:1]
+    my = rows[:, 1:2]
+    ca = rows[:, 2:3]
+    cb = rows[:, 3:4]
+    cc = rows[:, 4:5]
+    op = rows[:, OP_COL:OP_COL + 1]
+    dx = mx - px  # (GROUP, P)
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    raw = op * jnp.exp(power)
+    clamped = raw > ALPHA_MAX
+    alpha0 = jnp.minimum(ALPHA_MAX, raw)
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + g0) < count
+    live = (power <= 0.0) & (alpha0 >= ALPHA_MIN) & valid
+    alpha = jnp.where(live, alpha0, 0.0)
+    return alpha, power, dx, dy, live, clamped
+
+
+def _exclusive_transmittance(alpha, trans):
+    """Per-gaussian exclusive transmittance within the group.
+    alpha: (GROUP, P); trans: (1, P) carry.  Returns (T_excl (GROUP,P),
+    t_out (1,P))."""
+    t_list = []
+    t_run = trans
+    for k in range(GROUP):
+        t_list.append(t_run)
+        t_run = t_run * (1.0 - alpha[k:k + 1, :])
+    return jnp.concatenate(t_list, axis=0), t_run
+
+
+def _fwd_kernel(n_channels: int, counts_ref, tiles_x_ref, data_ref, out_ref):
+    px, py = _pixel_grid(tiles_x_ref)
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    n_groups = pl.cdiv(count, GROUP)
+    C = n_channels
+
+    def body(carry):
+        g, trans, acc = carry  # trans (1,P); acc (C, P)
+        g0 = g * GROUP
+        rows = data_ref[0, pl.ds(g0, GROUP), :]  # (GROUP, ROW)
+        alpha, _, _, _, _, _ = _group_geometry(rows, px, py, g0, count)
+        t_excl, t_out = _exclusive_transmittance(alpha, trans)
+        w = alpha * t_excl  # (GROUP, P)
+        cols = rows[:, 5:5 + C]  # (GROUP, C)
+        acc = acc + jax.lax.dot_general(
+            cols, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (C, P)
+        return g + 1, t_out, acc
+
+    def cond(carry):
+        g, trans, _ = carry
+        return jnp.logical_and(g < n_groups, jnp.max(trans) > T_EPS)
+
+    trans0 = jnp.ones((1, P), jnp.float32)
+    acc0 = jnp.zeros((C, P), jnp.float32)
+    _, trans, acc = jax.lax.while_loop(cond, body, (0, trans0, acc0))
+    out_ref[0, :C, :] = acc
+    out_ref[0, C, :] = trans[0]
+
+
+def _bwd_kernel(n_channels: int, counts_ref, tiles_x_ref, data_ref, fwd_out_ref,
+                cot_ref, grad_ref):
+    """Front-to-back replay.  cot rows: (C+1, P) = [g_colors, g_T] where g_T
+    already folds the background and alpha cotangents (plain-JAX wrapper)."""
+    px, py = _pixel_grid(tiles_x_ref)
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    n_groups = pl.cdiv(count, GROUP)
+    C = n_channels
+
+    c_total_dot_g = jnp.sum(
+        fwd_out_ref[0, :C, :] * cot_ref[0, :C, :], axis=0, keepdims=True
+    )  # (1,P) — g·C_total
+    t_final = fwd_out_ref[0, C:C + 1, :]  # (1,P)
+    g_col = cot_ref[0, :C, :]  # (C,P)
+    g_T = cot_ref[0, C:C + 1, :]  # (1,P)
+
+    grad_ref[0, :, :] = jnp.zeros_like(grad_ref[0, :, :])
+
+    def body(carry):
+        g, trans, gdot_cpre = carry  # gdot_cpre: (1,P) = g·C_{≤ processed}
+        g0 = g * GROUP
+        rows = data_ref[0, pl.ds(g0, GROUP), :]
+        alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
+        t_excl, t_out = _exclusive_transmittance(alpha, trans)
+        w = alpha * t_excl  # (GROUP, P)
+        cols = rows[:, 5:5 + C]  # (GROUP, C)
+
+        # g·c_k per gaussian: (GROUP,C)x(C,P) -> (GROUP,P)
+        gdotc = jax.lax.dot_general(
+            cols, g_col, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # inclusive prefix of g·(w_k c_k) within the group
+        contrib = gdotc * w  # (GROUP, P)
+        prefix = jnp.cumsum(contrib, axis=0) + gdot_cpre  # inclusive, (GROUP,P)
+        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+        d_alpha = (
+            t_excl * gdotc
+            - (c_total_dot_g - prefix) / one_m
+            - g_T * t_final / one_m
+        )
+        d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
+        d_raw = jnp.where(clamped, 0.0, d_alpha)
+        d_power = d_raw * alpha  # (GROUP,P)
+        d_op = jnp.sum(d_raw * jnp.exp(power) * live.astype(jnp.float32),
+                       axis=1, keepdims=True)  # (GROUP,1)
+
+        ca = rows[:, 2:3]; cb = rows[:, 3:4]; cc = rows[:, 4:5]
+        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1, keepdims=True)
+        d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
+        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
+        d_mx = jnp.sum(d_power * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
+        d_my = jnp.sum(d_power * (-(cc * dy + cb * dx)), axis=1, keepdims=True)
+        # d_col: (GROUP,P)x(P,C) -> (GROUP,C)
+        d_col = jax.lax.dot_general(
+            w, g_col, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        pad = jnp.zeros((GROUP, OP_COL - 5 - C), jnp.float32)
+        tail = jnp.zeros((GROUP, ROW - OP_COL - 1), jnp.float32)
+        grad_rows = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_col, pad, d_op, tail], axis=1
+        )
+        grad_ref[0, pl.ds(g0, GROUP), :] = grad_rows
+        return g + 1, t_out, prefix[GROUP - 1:GROUP, :]
+
+    def cond(carry):
+        g, trans, _ = carry
+        return jnp.logical_and(g < n_groups, jnp.max(trans) > T_EPS)
+
+    trans0 = jnp.ones((1, P), jnp.float32)
+    gpre0 = jnp.zeros((1, P), jnp.float32)
+    jax.lax.while_loop(cond, body, (0, trans0, gpre0))
+
+
+def _pack_rows(means2d, conics, colors, opacities):
+    """(N,2),(N,3),(N,C),(N,) -> (N+1, ROW) with a zero sentinel row."""
+    N, C = colors.shape
+    assert 5 + C <= OP_COL, "packed row supports up to 9 blended channels"
+    rows = jnp.zeros((N, ROW), jnp.float32)
+    rows = rows.at[:, 0:2].set(means2d)
+    rows = rows.at[:, 2:5].set(conics)
+    rows = rows.at[:, 5:5 + C].set(colors)
+    rows = rows.at[:, OP_COL].set(opacities)
+    return jnp.concatenate([rows, jnp.zeros((1, ROW), jnp.float32)], 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def blend_tiles_pallas(
+    tile_gauss, tile_counts, means2d, conics_colors, opacities,
+    W: int, H: int, n_channels: int, interpret: bool,
+):
+    out, _ = _blend_fwd_impl(
+        tile_gauss, tile_counts, means2d, conics_colors, opacities, W, H,
+        n_channels, interpret,
+    )
+    return out
+
+
+def _blend_fwd_impl(tile_gauss, tile_counts, means2d, conics_colors, opacities,
+                    W, H, n_channels, interpret):
+    conics, colors = conics_colors
+    T, K = tile_gauss.shape
+    C = n_channels
+    tiles_x = (W + TILE - 1) // TILE
+    rows = _pack_rows(means2d, conics, colors, opacities)  # (N+1, ROW)
+    tile_data = rows[tile_gauss]  # (T, K, ROW) one fused gather
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, K, ROW), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, C),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, C + 1, P), jnp.float32),
+        interpret=interpret,
+    )(tile_counts.astype(jnp.int32), jnp.asarray([tiles_x], jnp.int32), tile_data)
+    return out, (tile_gauss, tile_counts, means2d, conics, colors, opacities, tile_data, out)
+
+
+def _blend_fwd_rule(tile_gauss, tile_counts, means2d, conics_colors, opacities,
+                    W, H, n_channels, interpret):
+    return _blend_fwd_impl(
+        tile_gauss, tile_counts, means2d, conics_colors, opacities, W, H,
+        n_channels, interpret,
+    )
+
+
+def _blend_bwd_rule(W, H, n_channels, interpret, res, cot):
+    tile_gauss, tile_counts, means2d, conics, colors, opacities, tile_data, fwd_out = res
+    T, K = tile_gauss.shape
+    C = n_channels
+    N = means2d.shape[0]
+    tiles_x = (W + TILE - 1) // TILE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, K, ROW), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K, ROW), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    tile_grads = pl.pallas_call(
+        functools.partial(_bwd_kernel, C),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, K, ROW), jnp.float32),
+        interpret=interpret,
+    )(tile_counts.astype(jnp.int32), jnp.asarray([tiles_x], jnp.int32),
+      tile_data, fwd_out, cot)
+
+    flat_idx = tile_gauss.reshape(-1)
+    flat_grads = tile_grads.reshape(-1, ROW)
+    acc = jnp.zeros((N + 1, ROW), jnp.float32).at[flat_idx].add(flat_grads)[:N]
+    d_means2d = acc[:, 0:2]
+    d_conics = acc[:, 2:5]
+    d_colors = acc[:, 5:5 + C]
+    d_opac = acc[:, OP_COL]
+    return None, None, d_means2d, (d_conics, d_colors), d_opac
+
+
+blend_tiles_pallas.defvjp(_blend_fwd_rule, _blend_bwd_rule)
+
+
+def blend_image_pallas(
+    tile_gauss: jnp.ndarray,
+    tile_counts: jnp.ndarray,
+    means2d: jnp.ndarray,
+    conics: jnp.ndarray,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    depths: jnp.ndarray,
+    W: int,
+    H: int,
+    background: jnp.ndarray,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full-image blend through the Pallas kernel: (rgb_HWC, alpha_HW1,
+    depth_HW1) with background composited — matches blend.blend_tiles.
+
+    Depth rides as an extra blended channel.  The alpha/background cotangents
+    reach the kernel through plain-JAX ops on the (T, C+1, P) block, so
+    autodiff of this wrapper produces exactly the folded g_T channel the
+    backward kernel expects."""
+    C_user = colors.shape[-1]
+    colors_aug = jnp.concatenate([colors, depths[:, None]], -1)  # (N, C+1)
+    C = C_user + 1
+    tiles_x = (W + TILE - 1) // TILE
+    tiles_y = (H + TILE - 1) // TILE
+
+    out = blend_tiles_pallas(
+        tile_gauss, tile_counts, means2d, (conics, colors_aug), opacities,
+        W, H, C, interpret,
+    )  # (T, C+1, P)
+
+    acc = out[:, :C, :]
+    t_final = out[:, C, :]  # (T, P)
+
+    def untile(flat, ch):  # (T, ch, P) -> (H, W, ch)
+        img = flat.reshape(tiles_y, tiles_x, ch, TILE, TILE)
+        img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * TILE, tiles_x * TILE, ch)
+        return img[:H, :W]
+
+    colors_img = untile(acc[:, :C_user, :], C_user)
+    depth_img = untile(acc[:, C_user:C_user + 1, :], 1)
+    trans_img = untile(t_final[:, None, :], 1)
+    alpha_img = 1.0 - trans_img
+    rgb = colors_img + trans_img * background[None, None, :]
+    return rgb, alpha_img, depth_img

@@ -45,7 +45,12 @@ class RasterizeOutput(NamedTuple):
 
 
 class RasterizerConfig(NamedTuple):
-    """Static rasterization settings (shapes baked into the jitted step)."""
+    """Static rasterization settings (shapes baked into the jitted step).
+
+    backend: "pallas" = TPU kernel with count-bounded loops + early
+    termination (pallas_blend.py); "xla" = pure-XLA chunked scan (blend.py,
+    also the CPU fallback).  ``interpret`` runs the Pallas kernel in
+    interpreter mode (CPU testing)."""
 
     width: int
     height: int
@@ -55,6 +60,8 @@ class RasterizerConfig(NamedTuple):
     max_tiles_per_gaussian: int = 16
     chunk: int = 32
     near: float = 0.2
+    backend: str = "xla"
+    interpret: bool = False
 
 
 def rasterize(
@@ -106,6 +113,23 @@ def _rasterize_projected(
         cfg.tile_capacity,
         cfg.max_tiles_per_gaussian,
     )
+    if cfg.backend == "pallas":
+        from .pallas_blend import blend_image_pallas
+
+        rgb, alpha, depth = blend_image_pallas(
+            assign.tile_gauss,
+            jnp.minimum(assign.tile_counts, cfg.tile_capacity),
+            proj.means2d,
+            proj.conics,
+            colors,
+            opacities,
+            proj.depths,
+            cfg.width,
+            cfg.height,
+            background,
+            interpret=cfg.interpret,
+        )
+        return RasterizeOutput(rgb, proj.radii, depth, alpha)
     out: BlendOutput = blend_tiles(
         assign.tile_gauss,
         assign.tile_valid,

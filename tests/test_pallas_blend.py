@@ -1,0 +1,128 @@
+"""Pallas blend kernel vs the pure-XLA reference blend (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreammesh4d_tpu.ops.cameras import (
+    camera_position_from_spherical,
+    get_cam_info_gaussian,
+    look_at_c2w,
+)
+from dreammesh4d_tpu.ops.gs import RasterizerConfig, rasterize
+from dreammesh4d_tpu.ops.quaternion import quat_normalize
+
+FOV = 0.8
+
+
+def make_scene(N=200, seed=0):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 5)
+    p = jax.random.normal(ks[0], (N, 3)) * 0.4
+    quats = quat_normalize(jax.random.normal(ks[1], (N, 4)))
+    scales = jnp.exp(jnp.log(0.05) + 0.3 * jax.random.normal(ks[2], (N, 3)))
+    colors = jax.random.uniform(ks[3], (N, 3))
+    opac = jax.random.uniform(ks[4], (N,), minval=0.3, maxval=0.95)
+    pos = camera_position_from_spherical(jnp.asarray(15.0), jnp.asarray(30.0), jnp.asarray(2.5))
+    cam = get_cam_info_gaussian(look_at_c2w(pos), FOV, FOV, 0.01, 100.0)
+    return p, quats, scales, colors, opac, cam
+
+
+def cfgs(W=64):
+    t = float(np.tan(FOV / 2))
+    base = dict(width=W, height=W, tan_fovx=t, tan_fovy=t, tile_capacity=256, chunk=32)
+    return (
+        RasterizerConfig(**base, backend="xla"),
+        RasterizerConfig(**base, backend="pallas", interpret=True),
+    )
+
+
+def render(cfg, p, quats, scales, colors, opac, cam, bg):
+    return rasterize(p, opac, cam, cfg, bg, colors=colors, scales=scales, quats=quats)
+
+
+def test_forward_matches_xla():
+    scene = make_scene()
+    cfg_xla, cfg_pl = cfgs()
+    bg = jnp.asarray([0.3, 0.2, 0.1])
+    out_x = render(cfg_xla, *scene, bg)
+    out_p = render(cfg_pl, *scene, bg)
+    np.testing.assert_allclose(np.asarray(out_p.rgb), np.asarray(out_x.rgb), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_p.alpha), np.asarray(out_x.alpha), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_p.depth), np.asarray(out_x.depth), atol=5e-3)
+
+
+def test_gradients_match_xla():
+    scene = make_scene(N=60, seed=1)
+    p, quats, scales, colors, opac, cam = scene
+    cfg_xla, cfg_pl = cfgs(W=32)
+    bg = jnp.asarray([1.0, 1.0, 1.0])
+    target = jnp.zeros((32, 32, 3))
+
+    def loss(cfg, params):
+        out = rasterize(
+            params["p"], jax.nn.sigmoid(params["ol"]), cam, cfg, bg,
+            colors=jax.nn.sigmoid(params["c"]), scales=jnp.exp(params["ls"]),
+            quats=params["q"],
+        )
+        return ((out.rgb - target) ** 2).mean() + 0.1 * out.depth.mean() + 0.05 * out.alpha.mean()
+
+    params = {
+        "p": p, "q": quats, "ls": jnp.log(scales),
+        "c": jnp.log(colors / (1 - colors + 1e-6)), "ol": jnp.full((60,), 0.5),
+    }
+    gx = jax.grad(lambda pr: loss(cfg_xla, pr))(params)
+    gp = jax.grad(lambda pr: loss(cfg_pl, pr))(params)
+    for k in params:
+        a, b = np.asarray(gx[k]), np.asarray(gp[k])
+        assert np.isfinite(b).all(), k
+        denom = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / denom, a / denom, atol=2e-3, err_msg=k)
+
+
+def test_early_termination_correct():
+    """A wall of fully opaque gaussians in front: kernel must early-exit and
+    still produce the same image as XLA."""
+    N = 100
+    p = jnp.concatenate(
+        [jnp.zeros((50, 3)) + jnp.asarray([0.5, 0, 0]), jnp.zeros((50, 3))], 0
+    ) + 1e-3 * jax.random.normal(jax.random.PRNGKey(0), (N, 3))
+    quats = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (N, 1))
+    scales = jnp.full((N, 3), 0.3)
+    colors = jnp.concatenate([jnp.ones((50, 3)) * jnp.asarray([1.0, 0, 0]),
+                              jnp.ones((50, 3)) * jnp.asarray([0.0, 0, 1.0])], 0)
+    opac = jnp.full((N,), 0.99)
+    pos = camera_position_from_spherical(jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(2.5))
+    cam = get_cam_info_gaussian(look_at_c2w(pos), FOV, FOV, 0.01, 100.0)
+    cfg_xla, cfg_pl = cfgs(W=32)
+    bg = jnp.zeros(3)
+    out_x = render(cfg_xla, p, quats, scales, colors, opac, cam, bg)
+    out_p = render(cfg_pl, p, quats, scales, colors, opac, cam, bg)
+    np.testing.assert_allclose(np.asarray(out_p.rgb), np.asarray(out_x.rgb), atol=3e-3)
+    # the front wall is red
+    assert np.asarray(out_p.rgb)[16, 16, 0] > 0.9
+
+
+def test_pallas_in_render_view():
+    """Fused 6-channel (rgb+normal) + depth path through the Pallas kernel."""
+    from dreammesh4d_tpu.models.geometry.sugar import SuGaRConfig, create_sugar, gaussian_attributes
+    from dreammesh4d_tpu.models.renderers.sugar_rasterizer import render_view
+    from dreammesh4d_tpu.ops.meshops import face_normals
+    from dreammesh4d_tpu.utils.procedural import make_icosphere
+
+    mesh = make_icosphere(1, radius=0.8)
+    params, static = create_sugar(SuGaRConfig(n_gaussians_per_surface_triangle=3), mesh)
+    attrs = gaussian_attributes(params, static)
+    fn = face_normals(params.points, static.faces)
+    gs_n = jnp.repeat(fn, 3, axis=0)
+    pos = camera_position_from_spherical(jnp.asarray(10.0), jnp.asarray(20.0), jnp.asarray(2.5))
+    cam = get_cam_info_gaussian(look_at_c2w(pos), FOV, FOV, 0.01, 100.0)
+    cfg_xla, cfg_pl = cfgs(W=64)
+    o1 = render_view(attrs.means3d, attrs.quats, attrs.scales, attrs.opacities,
+                     attrs.sh, static.sh_degree, gs_n, cam, jnp.ones(3), cfg_xla)
+    o2 = render_view(attrs.means3d, attrs.quats, attrs.scales, attrs.opacities,
+                     attrs.sh, static.sh_degree, gs_n, cam, jnp.ones(3), cfg_pl)
+    np.testing.assert_allclose(np.asarray(o2["comp_rgb"]), np.asarray(o1["comp_rgb"]), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(o2["comp_mask"]), np.asarray(o1["comp_mask"]), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(o2["comp_normal"]), np.asarray(o1["comp_normal"]), atol=5e-3)
