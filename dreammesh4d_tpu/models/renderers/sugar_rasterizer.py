@@ -116,17 +116,17 @@ def render_batch(
 
         return jax.vmap(one)(cameras.world_view, cameras.full_proj, cameras.camera_center)
 
-    t_means, t_quats, t_normals = timed_attrs
+    t_means, t_quats, t_scales, t_normals = timed_attrs
 
-    def one_timed(wv, fp, cc, m, q, n):
+    def one_timed(wv, fp, cc, m, q, s, n):
         return render_view(
-            m, q, scales, opacities, sh, sh_degree, n,
+            m, q, s, opacities, sh, sh_degree, n,
             GSCameraInfo(wv, fp, cc), bg_color, cfg,
         )
 
     return jax.vmap(one_timed)(
         cameras.world_view, cameras.full_proj, cameras.camera_center,
-        t_means, t_quats, t_normals,
+        t_means, t_quats, t_scales, t_normals,
     )
 
 

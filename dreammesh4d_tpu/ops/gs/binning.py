@@ -69,14 +69,18 @@ def bin_gaussians(
     pair_valid = alive[:, None] & (m < n_span[:, None])
     tile_ids = jnp.where(pair_valid, (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx), T)
 
-    flat_tiles = tile_ids.reshape(-1)
-    flat_depths = jnp.broadcast_to(depths[:, None], (N, M)).reshape(-1)
-    flat_gauss = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None], (N, M)
-    ).reshape(-1)
+    # Depth ordering within tiles via STABLE single-key sort: order the
+    # gaussian ids by depth once (N elements), emit pairs in that order, then
+    # stably sort the N*M pairs by tile id alone — stability preserves the
+    # front-to-back order inside each tile.  One int32 key instead of a
+    # 3-operand lexicographic sort (~2x faster on TPU).
+    depth_order = jnp.argsort(depths).astype(jnp.int32)  # (N,) front-to-back
+    tile_ids_sorted = tile_ids[depth_order]  # (N, M) rows in depth order
+    flat_tiles = tile_ids_sorted.reshape(-1)
+    flat_gauss = jnp.broadcast_to(depth_order[:, None], (N, M)).reshape(-1)
 
-    sorted_tiles, _, sorted_gauss = jax.lax.sort(
-        (flat_tiles, flat_depths, flat_gauss), num_keys=2
+    sorted_tiles, sorted_gauss = jax.lax.sort(
+        (flat_tiles, flat_gauss), num_keys=1, is_stable=True
     )
 
     starts = jnp.searchsorted(sorted_tiles, jnp.arange(T, dtype=jnp.int32), side="left")

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .binning import TILE
 
-GROUP = 8
+GROUP = 32
 ROW = 16  # packed row width (params + colors), padded for alignment
 OP_COL = 14  # opacity column in the packed row
 P = TILE * TILE  # 256 pixels per tile
@@ -54,10 +54,13 @@ def _pixel_grid(tiles_x_ref):
     tiles_x = tiles_x_ref[0]
     tx = (t % tiles_x).astype(jnp.float32)
     ty = (t // tiles_x).astype(jnp.float32)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 1)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 0)
-    px = (tx * TILE + xs).reshape(1, P)
-    py = (ty * TILE + ys).reshape(1, P)
+    # Build (1, P) directly: Mosaic's iota is integer-only and (16,16)->(1,256)
+    # shape casts don't lower, so derive x/y from a flat pixel index.
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    xs = (idx % TILE).astype(jnp.float32)
+    ys = (idx // TILE).astype(jnp.float32)
+    px = tx * TILE + xs
+    py = ty * TILE + ys
     return px, py
 
 
@@ -83,16 +86,37 @@ def _group_geometry(rows, px, py, g0, count):
     return alpha, power, dx, dy, live, clamped
 
 
+def _tri_strict():
+    """Strictly-lower-triangular ones (GROUP, GROUP) — cumulative products/
+    sums along the group axis become a single MXU matmul instead of a
+    GROUP-step unrolled scan."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
+    return (c < r).astype(jnp.float32)
+
+
+def _tri_incl():
+    r = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
+    return (c <= r).astype(jnp.float32)
+
+
 def _exclusive_transmittance(alpha, trans):
     """Per-gaussian exclusive transmittance within the group.
     alpha: (GROUP, P); trans: (1, P) carry.  Returns (T_excl (GROUP,P),
-    t_out (1,P))."""
-    t_list = []
-    t_run = trans
-    for k in range(GROUP):
-        t_list.append(t_run)
-        t_run = t_run * (1.0 - alpha[k:k + 1, :])
-    return jnp.concatenate(t_list, axis=0), t_run
+    t_out (1,P)).
+
+    Computed in log space: T_excl = trans · exp(Lstrict @ log1p(−α)) where
+    Lstrict is the strictly-lower-triangular ones matrix — the sequential
+    product becomes one (GROUP,GROUP)x(GROUP,P) MXU matmul.  α ≤ 0.99 keeps
+    log1p well-conditioned."""
+    l = jnp.log1p(-alpha)  # (GROUP, P), <= 0
+    csum = jax.lax.dot_general(
+        _tri_strict(), l, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    t_excl = trans * jnp.exp(csum)
+    t_out = trans * jnp.exp(jnp.sum(l, axis=0, keepdims=True))
+    return t_excl, t_out
 
 
 def _fwd_kernel(n_channels: int, counts_ref, tiles_x_ref, data_ref, out_ref):
@@ -158,9 +182,13 @@ def _bwd_kernel(n_channels: int, counts_ref, tiles_x_ref, data_ref, fwd_out_ref,
         gdotc = jax.lax.dot_general(
             cols, g_col, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        # inclusive prefix of g·(w_k c_k) within the group
+        # inclusive prefix of g·(w_k c_k) within the group — triangular MXU
+        # matmul (Mosaic has no cumsum lowering)
         contrib = gdotc * w  # (GROUP, P)
-        prefix = jnp.cumsum(contrib, axis=0) + gdot_cpre  # inclusive, (GROUP,P)
+        prefix = gdot_cpre + jax.lax.dot_general(
+            _tri_incl(), contrib, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         d_alpha = (
             t_excl * gdotc

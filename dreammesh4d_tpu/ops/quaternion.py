@@ -126,24 +126,24 @@ def quat_log(q: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Log map: unit quaternion -> rotation vector (...,3) = axis * angle.
 
     Equivalent to pypose ``SO3.Log()`` (used in fuse_rotations,
-    dynamic_sugar.py:877-889)."""
+    dynamic_sugar.py:877-889).  Branch-free and NaN-free at the identity: the
+    vector norm is smoothed as sqrt(‖v‖²+ε²) so that angle/vn -> 2/w as v -> 0
+    with finite gradients (a plain ‖v‖ has a NaN derivative at 0, which is hit
+    on every identity rotation — the zero-init deformation state)."""
     q = quat_standardize(quat_normalize(q))
     w = jnp.clip(q[..., :1], -1.0, 1.0)
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    vn = jnp.sqrt((v * v).sum(-1, keepdims=True) + eps * eps)
     angle = 2.0 * jnp.arctan2(vn, w)
-    # sinc-safe scale: angle / sin(angle/2); for small angles -> 2
-    scale = jnp.where(vn > eps, angle / jnp.maximum(vn, eps), 2.0 / jnp.maximum(w, eps))
-    return v * scale
+    return v * (angle / vn)
 
 
 def quat_exp(rotvec: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Exp map: rotation vector (...,3) -> unit quaternion (wxyz)."""
-    angle = jnp.linalg.norm(rotvec, axis=-1, keepdims=True)
+    """Exp map: rotation vector (...,3) -> unit quaternion (wxyz).
+    Smoothed-norm formulation (NaN-free gradient at rotvec = 0)."""
+    angle = jnp.sqrt((rotvec * rotvec).sum(-1, keepdims=True) + eps * eps)
     half = 0.5 * angle
-    # sin(half)/angle, Taylor-safe
-    small = angle < eps
-    k = jnp.where(small, 0.5 - angle**2 / 48.0, jnp.sin(half) / jnp.maximum(angle, eps))
+    k = jnp.sin(half) / angle  # -> 0.5 as angle -> 0 (angle >= eps)
     w = jnp.cos(half)
     return jnp.concatenate([w, rotvec * k], -1)
 

@@ -1,0 +1,257 @@
+"""sugar-4dgen-system: the dynamic ("motion") stage as one jitted train step.
+
+Functional redesign of the reference Lightning system
+(custom/threestudio-dreammesh4d/system/sugar_4dgen.py:28-637).  Per step, for
+the T sampled video frames:
+
+- ``zero123`` substep: render timed Gaussians from random cameras → temporal
+  SDS (pluggable guidance; stubbed 0 when absent) + TV regs
+  (sugar_4dgen.py:232-240);
+- ``ref`` substep: render from the fixed reference camera → masked rgb MSE +
+  mask MSE vs the video frames + PSNR (sugar_4dgen.py:160-199), timed-mesh
+  normal consistency + laplacian (sugar_4dgen.py:214-230), frame-0 anchor
+  (lambda_ref_xyz, :287-290), object-centric reg (:293-302), keyframe ARAP
+  (:304-311);
+- inter-frame substep: ARAP over ``num_inter_frames`` densely sampled
+  timestamps in a random window (host samples the window; :331-370).
+
+The static SuGaR parameters are FROZEN (stop_gradient; parity with
+dynamic_sugar.py:79-87) — only the deformation network trains.  ARAP rotations
+come from the skinning chain (given-rotation mode, not best-fit), matching
+``_compute_arap_energy`` (sugar_4dgen.py:371-385).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import dreammesh4d_tpu as ds
+
+from ..models.geometry.deformation import DeformationConfig, plane_tv_loss
+from ..models.geometry.dynamic_sugar import (
+    DynamicStatic,
+    timed_all,
+)
+from ..models.geometry.sugar import SuGaRParams, gaussian_attributes
+from ..models.renderers.sugar_rasterizer import CameraBatch, render_batch
+from ..ops.gs import RasterizerConfig
+from ..ops.meshops import (
+    arap_energy,
+    face_normals,
+    laplacian_smoothing_loss,
+    normal_consistency_loss,
+    tv_loss,
+)
+from ..ops.quaternion import quat_to_matrix
+from ..utils.schedule import C_jax
+
+
+@dataclass
+class Sugar4DGenLosses:
+    lambda_sds_zero123: Any = 0.1
+    lambda_rgb: Any = 5000.0
+    lambda_mask: Any = field(default_factory=lambda: [200, 500.0, 5000.0, 1000])
+    lambda_normal_consistency: Any = 100.0
+    lambda_laplacian_smoothing: Any = 0.0
+    lambda_arap_reg_key_frame: Any = 10.0
+    lambda_arap_reg_inter_frame: Any = 10.0
+    lambda_ref_xyz: Any = 0.0
+    lambda_obj_centric: Any = 0.0
+    lambda_rgb_tv: Any = 0.0
+    lambda_normal_tv: Any = 0.0
+    lambda_depth_tv: Any = 0.0
+    lambda_plane_tv: Any = 0.0001
+    lambda_time_smoothness: Any = 0.01
+
+
+class DynTrainState(NamedTuple):
+    deform_params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_dyn_state(deform_params, optimizer) -> DynTrainState:
+    return DynTrainState(deform_params, optimizer.init(deform_params), jnp.zeros((), jnp.int32))
+
+
+GuidanceFn = Callable[[jax.Array, jnp.ndarray, Dict[str, jnp.ndarray]], jnp.ndarray]
+
+
+def make_dynamic_train_step(
+    sugar_params: SuGaRParams,
+    static: DynamicStatic,
+    deform_cfg: DeformationConfig,
+    raster_cfg: RasterizerConfig,
+    optimizer: optax.GradientTransformation,
+    losses: Sugar4DGenLosses,
+    arap_weights: jnp.ndarray,  # (V, K) cotangent weights on the rest mesh
+    guidance_fn: Optional[GuidanceFn] = None,
+    bg_color=(1.0, 1.0, 1.0),
+    invert_bg_prob: float = 1.0,
+    arap_start_step: int = 0,
+):
+    """Build the jitted dynamic train step.  ``batch`` layout:
+
+    - ``timestamps`` (T,), ``frame_indices`` (T,) int32
+    - ``ref_cameras`` CameraBatch (T views, the fixed ref camera repeated),
+      ``ref_rgb`` (T,H,W,3) video frames, ``ref_mask`` (T,H,W,1)
+    - ``rand_cameras`` CameraBatch (T random views, frame-aligned)
+    - ``inter_timestamps`` (num_inter,) — densely sampled window (host side)
+    """
+    sugar_params = jax.tree.map(jax.lax.stop_gradient, sugar_params)
+    bg_base = jnp.asarray(bg_color, jnp.float32)
+    sg = static.sugar
+    G = sg.n_per_face
+    attrs0 = gaussian_attributes(sugar_params, sg)
+    rest_points = sugar_params.points
+    ring = (sg.ring_idx, sg.ring_mask)
+
+    def _timed_render(deform_params, cameras, timestamps, bg):
+        gs, vert = timed_all(sugar_params, deform_params, deform_cfg, static, timestamps)
+        fnorm = face_normals(vert.xyz, sg.faces)  # (T, F, 3)
+        gs_normals = jnp.repeat(fnorm, G, axis=-2)
+        out = render_batch(
+            attrs0.means3d, attrs0.quats, attrs0.scales, attrs0.opacities,
+            attrs0.sh, sg.sh_degree, None, cameras, bg, raster_cfg,
+            timed_attrs=(gs.means3d, gs.quats, gs.scales, gs_normals),
+        )
+        return out, gs, vert
+
+    def _arap(vert_xyz, vert_rots):
+        R = quat_to_matrix(vert_rots)  # (T, V, 3, 3)
+
+        def one(xyz_t, R_t):
+            return arap_energy(
+                rest_points, xyz_t, sg.ring_idx, sg.ring_mask, arap_weights,
+                rotations=R_t,
+            )
+
+        return jax.vmap(one)(vert_xyz, R).sum()
+
+    def loss_fn(deform_params, batch, rng, step):
+        terms: Dict[str, jnp.ndarray] = {}
+        rng_bg, rng_guid = jax.random.split(rng)
+        invert = jax.random.uniform(rng_bg) > (1.0 - invert_bg_prob)
+        train_bg = jnp.where(invert, 1.0 - bg_base, bg_base)
+        ts = batch["timestamps"]
+
+        # --- zero123 substep (random cameras) --------------------------------
+        rand_out, _, _ = _timed_render(deform_params, batch["rand_cameras"], ts, train_bg)
+        if guidance_fn is not None:
+            terms["sds_zero123"] = guidance_fn(rng_guid, rand_out["comp_rgb"], batch)
+        terms["rgb_tv"] = tv_loss(rand_out["comp_rgb"])
+        terms["normal_tv"] = tv_loss(rand_out["comp_normal"])
+        terms["depth_tv"] = tv_loss(rand_out["comp_depth"])
+
+        # --- ref substep (video frames) --------------------------------------
+        ref_out, _, vert = _timed_render(deform_params, batch["ref_cameras"], ts, bg_base)
+        gt_mask = batch["ref_mask"]
+        gt_rgb = batch["ref_rgb"] * gt_mask
+        terms["rgb"] = ((gt_rgb - ref_out["comp_rgb"] * gt_mask) ** 2).mean()
+        terms["mask"] = ((gt_mask - ref_out["comp_mask"]) ** 2).mean()
+
+        terms["normal_consistency"] = normal_consistency_loss(
+            vert.xyz, sg.faces, sg.edge_face_pairs
+        )
+        terms["laplacian_smoothing"] = laplacian_smoothing_loss(vert.xyz, ring)
+
+        arap_on = (step >= arap_start_step).astype(jnp.float32)
+        terms["arap_reg_key_frame"] = arap_on * _arap(vert.xyz, vert.rots)
+
+        # frame-0 anchor (sugar_4dgen.py:287-290)
+        _, vert_t0 = timed_all(
+            sugar_params, deform_params, deform_cfg, static, jnp.zeros((1,), jnp.float32)
+        )
+        terms["ref_xyz"] = jnp.abs(vert_t0.xyz[0] - rest_points).mean()
+
+        # object-centric reg (sugar_4dgen.py:293-302)
+        terms["obj_centric"] = (
+            jnp.abs(vert.xyz[..., 0].mean()) + jnp.abs(vert.xyz[..., 1].mean())
+        )
+
+        # --- inter-frame ARAP substep ----------------------------------------
+        _, vert_inter = timed_all(
+            sugar_params, deform_params, deform_cfg, static, batch["inter_timestamps"]
+        )
+        terms["arap_reg_inter_frame"] = arap_on * _arap(vert_inter.xyz, vert_inter.rots)
+
+        # HexPlane grid regularizers (deformation.py:58-61)
+        terms["plane_tv"] = plane_tv_loss(deform_params)
+        terms["time_smoothness"] = plane_tv_loss(deform_params, only_time_planes=True)
+
+        weights = {
+            "sds_zero123": losses.lambda_sds_zero123,
+            "rgb": losses.lambda_rgb,
+            "mask": losses.lambda_mask,
+            "normal_consistency": losses.lambda_normal_consistency,
+            "laplacian_smoothing": losses.lambda_laplacian_smoothing,
+            "arap_reg_key_frame": losses.lambda_arap_reg_key_frame,
+            "arap_reg_inter_frame": losses.lambda_arap_reg_inter_frame,
+            "ref_xyz": losses.lambda_ref_xyz,
+            "obj_centric": losses.lambda_obj_centric,
+            "rgb_tv": losses.lambda_rgb_tv,
+            "normal_tv": losses.lambda_normal_tv,
+            "depth_tv": losses.lambda_depth_tv,
+            "plane_tv": losses.lambda_plane_tv,
+            "time_smoothness": losses.lambda_time_smoothness,
+        }
+        total = jnp.zeros((), jnp.float32)
+        for name, value in terms.items():
+            total = total + C_jax(weights[name], step) * value
+        metrics = {f"loss_{k}": v for k, v in terms.items()}
+        metrics["loss_total"] = total
+        metrics["psnr"] = -10.0 * jnp.log10(terms["rgb"] + 1e-8)
+        return total, metrics
+
+    @jax.jit
+    def train_step(state: DynTrainState, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.deform_params, batch, rng, state.step
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.deform_params)
+        deform_params = optax.apply_updates(state.deform_params, updates)
+        return DynTrainState(deform_params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_dynamic_render_eval(
+    sugar_params: SuGaRParams,
+    static: DynamicStatic,
+    deform_cfg: DeformationConfig,
+    raster_cfg: RasterizerConfig,
+    bg_color=(1.0, 1.0, 1.0),
+):
+    """Jitted timed eval rendering (validation: fixed azimuths × timestamps,
+    sugar_4dgen.py:431-504)."""
+    sg = static.sugar
+    G = sg.n_per_face
+    attrs0 = gaussian_attributes(sugar_params, sg)
+    bg = jnp.asarray(bg_color, jnp.float32)
+
+    @jax.jit
+    def render_eval(deform_params, cameras: CameraBatch, timestamps):
+        gs, vert = timed_all(sugar_params, deform_params, deform_cfg, static, timestamps)
+        fnorm = face_normals(vert.xyz, sg.faces)
+        gs_normals = jnp.repeat(fnorm, G, axis=-2)
+        return render_batch(
+            attrs0.means3d, attrs0.quats, attrs0.scales, attrs0.opacities,
+            attrs0.sh, sg.sh_degree, None, cameras, bg, raster_cfg,
+            timed_attrs=(gs.means3d, gs.quats, gs.scales, gs_normals),
+        )
+
+    return render_eval
+
+
+@ds.register("sugar-4dgen-system")
+class Sugar4DGenSystem:
+    """Registry-facing wrapper (assembled by the launcher/trainer)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
