@@ -1,1 +1,3 @@
-"""Diffusion guidance (Zero123 SDS). Modules register lazily."""
+"""Diffusion guidance (Zero123 SDS)."""
+
+from . import zero123  # noqa: F401

@@ -69,19 +69,27 @@ def bin_gaussians(
     pair_valid = alive[:, None] & (m < n_span[:, None])
     tile_ids = jnp.where(pair_valid, (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx), T)
 
-    # Depth ordering within tiles via STABLE single-key sort: order the
-    # gaussian ids by depth once (N elements), emit pairs in that order, then
-    # stably sort the N*M pairs by tile id alone — stability preserves the
-    # front-to-back order inside each tile.  One int32 key instead of a
-    # 3-operand lexicographic sort (~2x faster on TPU).
+    # Single-operand packed sort: gaussians are pre-ordered by depth once
+    # (N-element argsort), so the depth RANK doubles as the within-tile
+    # ordering key.  Pack key = tile_id << rank_bits | rank into ONE int32 and
+    # sort a single array — much cheaper on TPU than multi-operand
+    # lexicographic sorts; unpacking recovers both grouping and front-to-back
+    # order.
+    rank_bits = N.bit_length()  # rank < N
+    tile_bits = (T + 1).bit_length()
+    if rank_bits + tile_bits > 31:
+        raise ValueError(
+            f"Packed binning key overflow: {N} gaussians x {T} tiles needs "
+            f"{rank_bits}+{tile_bits} bits; reduce image size or gaussian count"
+        )
     depth_order = jnp.argsort(depths).astype(jnp.int32)  # (N,) front-to-back
     tile_ids_sorted = tile_ids[depth_order]  # (N, M) rows in depth order
-    flat_tiles = tile_ids_sorted.reshape(-1)
-    flat_gauss = jnp.broadcast_to(depth_order[:, None], (N, M)).reshape(-1)
+    rank = jax.lax.broadcasted_iota(jnp.int32, (N, M), 0)
+    keys = ((tile_ids_sorted << rank_bits) | rank).reshape(-1)
 
-    sorted_tiles, sorted_gauss = jax.lax.sort(
-        (flat_tiles, flat_gauss), num_keys=1, is_stable=True
-    )
+    sorted_keys = jax.lax.sort(keys)
+    sorted_tiles = sorted_keys >> rank_bits
+    sorted_gauss = depth_order[sorted_keys & ((1 << rank_bits) - 1)]
 
     starts = jnp.searchsorted(sorted_tiles, jnp.arange(T, dtype=jnp.int32), side="left")
     ends = jnp.searchsorted(sorted_tiles, jnp.arange(T, dtype=jnp.int32), side="right")
