@@ -1,0 +1,273 @@
+"""Torch LDM checkpoint -> flax parameter conversion.
+
+Maps the Stable-Zero123 checkpoint state dict (the LDM layout defined by
+load/zero123/sd-objaverse-finetune-c_concat-256.yaml and
+extern/ldm_zero123/models/diffusion/ddpm.py) onto the flax module trees in
+unet.py / vae.py: convs transpose OIHW->HWIO, linears transpose (out,in)->
+(in,out), GroupNorm weight/bias -> scale/bias, attention qkv splits.  The
+CLIP vision tower maps onto transformers' FlaxCLIPVisionModel layout.
+
+Loading runs on host CPU (torch is CPU-only in this image) and produces
+numpy arrays; callers device-put with their chosen sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _t(x):
+    return np.asarray(x, np.float32)
+
+
+def _conv(sd, key):
+    # torch conv weight OIHW -> flax HWIO
+    return {"kernel": _t(sd[f"{key}.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd[f"{key}.bias"])}
+
+
+def _dense(sd, key, bias=True):
+    out = {"kernel": _t(sd[f"{key}.weight"]).T}
+    if bias:
+        out["bias"] = _t(sd[f"{key}.bias"])
+    return out
+
+
+def _norm(sd, key):
+    return {"scale": _t(sd[f"{key}.weight"]), "bias": _t(sd[f"{key}.bias"])}
+
+
+def _gn(sd, key):
+    return {"GroupNorm_0": _norm(sd, key)}
+
+
+def _ln(sd, key):
+    return {"LayerNorm_0": _norm(sd, key)}
+
+
+def _res_block(sd, p):
+    out = {
+        "norm_in": _gn(sd, f"{p}.in_layers.0"),
+        "conv_in": _conv(sd, f"{p}.in_layers.2"),
+        "emb_proj": _dense(sd, f"{p}.emb_layers.1"),
+        "norm_out": _gn(sd, f"{p}.out_layers.0"),
+        "conv_out": _conv(sd, f"{p}.out_layers.3"),
+    }
+    if f"{p}.skip_connection.weight" in sd:
+        out["skip"] = _conv(sd, f"{p}.skip_connection")
+    return out
+
+
+def _cross_attn(sd, p):
+    return {
+        "to_q": {"kernel": _t(sd[f"{p}.to_q.weight"]).T},
+        "to_k": {"kernel": _t(sd[f"{p}.to_k.weight"]).T},
+        "to_v": {"kernel": _t(sd[f"{p}.to_v.weight"]).T},
+        "to_out": _dense(sd, f"{p}.to_out.0"),
+    }
+
+
+def _transformer_block(sd, p):
+    return {
+        "norm1": _ln(sd, f"{p}.norm1"),
+        "attn1": _cross_attn(sd, f"{p}.attn1"),
+        "norm2": _ln(sd, f"{p}.norm2"),
+        "attn2": _cross_attn(sd, f"{p}.attn2"),
+        "norm3": _ln(sd, f"{p}.norm3"),
+        "ff": {
+            "proj_in": _dense(sd, f"{p}.ff.net.0.proj"),
+            "proj_out": _dense(sd, f"{p}.ff.net.2"),
+        },
+    }
+
+
+def _spatial_transformer(sd, p, depth=1):
+    out = {
+        "norm": _gn(sd, f"{p}.norm"),
+        "proj_in": _conv(sd, f"{p}.proj_in"),
+        "proj_out": _conv(sd, f"{p}.proj_out"),
+    }
+    for i in range(depth):
+        out[f"block_{i}"] = _transformer_block(sd, f"{p}.transformer_blocks.{i}")
+    return out
+
+
+def convert_unet(sd: Dict[str, Any], channel_mult=(1, 2, 4, 4), num_res_blocks=2,
+                 attention_resolutions=(4, 2, 1)) -> Dict[str, Any]:
+    """LDM ``model.diffusion_model.*`` -> flax UNetModel param tree.
+
+    The LDM input_blocks/output_blocks are flat ModuleLists; this walks them
+    in the same construction order as openaimodel.UNetModel."""
+    p = {}
+    p["time_embed_0"] = _dense(sd, "time_embed.0")
+    p["time_embed_2"] = _dense(sd, "time_embed.2")
+    p["conv_in"] = _conv(sd, "input_blocks.0.0")
+
+    idx = 1
+    ds = 1
+    for level, mult in enumerate(channel_mult):
+        for i in range(num_res_blocks):
+            p[f"down_{level}_{i}_res"] = _res_block(sd, f"input_blocks.{idx}.0")
+            if ds in attention_resolutions:
+                p[f"down_{level}_{i}_attn"] = _spatial_transformer(sd, f"input_blocks.{idx}.1")
+            idx += 1
+        if level != len(channel_mult) - 1:
+            p[f"down_{level}_ds"] = {"op": _conv(sd, f"input_blocks.{idx}.0.op")}
+            idx += 1
+            ds *= 2
+
+    p["mid_res1"] = _res_block(sd, "middle_block.0")
+    p["mid_attn"] = _spatial_transformer(sd, "middle_block.1")
+    p["mid_res2"] = _res_block(sd, "middle_block.2")
+
+    idx = 0
+    for level, mult in list(enumerate(channel_mult))[::-1]:
+        for i in range(num_res_blocks + 1):
+            p[f"up_{level}_{i}_res"] = _res_block(sd, f"output_blocks.{idx}.0")
+            sub = 1
+            if ds in attention_resolutions:
+                p[f"up_{level}_{i}_attn"] = _spatial_transformer(sd, f"output_blocks.{idx}.{sub}")
+                sub += 1
+            if level != 0 and i == num_res_blocks:
+                p[f"up_{level}_us"] = {"conv": _conv(sd, f"output_blocks.{idx}.{sub}.conv")}
+            idx += 1
+        if level != 0:
+            ds //= 2
+
+    p["norm_out"] = _gn(sd, "out.0")
+    p["conv_out"] = _conv(sd, "out.2")
+    return p
+
+
+def _vae_res(sd, p):
+    out = {
+        "norm1": _gn(sd, f"{p}.norm1"), "conv1": _conv(sd, f"{p}.conv1"),
+        "norm2": _gn(sd, f"{p}.norm2"), "conv2": _conv(sd, f"{p}.conv2"),
+    }
+    if f"{p}.nin_shortcut.weight" in sd:
+        out["nin_shortcut"] = _conv(sd, f"{p}.nin_shortcut")
+    return out
+
+
+def _vae_attn(sd, p):
+    return {
+        "norm": _gn(sd, f"{p}.norm"),
+        "q": _conv(sd, f"{p}.q"), "k": _conv(sd, f"{p}.k"), "v": _conv(sd, f"{p}.v"),
+        "proj_out": _conv(sd, f"{p}.proj_out"),
+    }
+
+
+def convert_vae(sd: Dict[str, Any], ch_mult=(1, 2, 4, 4), num_res_blocks=2) -> Dict[str, Any]:
+    """LDM ``first_stage_model.*`` -> flax AutoencoderKL param tree."""
+    enc = {"conv_in": _conv(sd, "encoder.conv_in")}
+    for level in range(len(ch_mult)):
+        for i in range(num_res_blocks):
+            enc[f"down_{level}_{i}"] = _vae_res(sd, f"encoder.down.{level}.block.{i}")
+        if level != len(ch_mult) - 1:
+            enc[f"down_{level}_ds"] = _conv(sd, f"encoder.down.{level}.downsample.conv")
+    enc["mid_res1"] = _vae_res(sd, "encoder.mid.block_1")
+    enc["mid_attn"] = _vae_attn(sd, "encoder.mid.attn_1")
+    enc["mid_res2"] = _vae_res(sd, "encoder.mid.block_2")
+    enc["norm_out"] = _gn(sd, "encoder.norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out")
+
+    dec = {"conv_in": _conv(sd, "decoder.conv_in")}
+    dec["mid_res1"] = _vae_res(sd, "decoder.mid.block_1")
+    dec["mid_attn"] = _vae_attn(sd, "decoder.mid.attn_1")
+    dec["mid_res2"] = _vae_res(sd, "decoder.mid.block_2")
+    n_levels = len(ch_mult)
+    for level in range(n_levels):
+        # ldm decoder up list is indexed by level directly (up.3 = coarsest)
+        for i in range(num_res_blocks + 1):
+            dec[f"up_{level}_{i}"] = _vae_res(sd, f"decoder.up.{level}.block.{i}")
+        if level != 0:
+            dec[f"up_{level}_us"] = _conv(sd, f"decoder.up.{level}.upsample.conv")
+    dec["norm_out"] = _gn(sd, "decoder.norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
+
+
+def load_zero123_checkpoint(path: str, modules) -> Dict[str, Any]:
+    """Load a torch Stable-Zero123 ``.ckpt`` and convert every component the
+    guidance needs (UNet, VAE, cc_projection, CLIP vision tower)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+
+    unet_sd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
+               if k.startswith("model.diffusion_model.")}
+    vae_sd = {k[len("first_stage_model."):]: v for k, v in sd.items()
+              if k.startswith("first_stage_model.")}
+
+    params: Dict[str, Any] = {
+        "unet": convert_unet(unet_sd),
+        "vae": convert_vae(vae_sd),
+        "cc_projection": {
+            "kernel": _t(sd["cc_projection.weight"]).T,
+            "bias": _t(sd["cc_projection.bias"]),
+        },
+    }
+    clip_prefix = "cond_stage_model.model."
+    clip_sd = {k[len(clip_prefix):]: v for k, v in sd.items() if k.startswith(clip_prefix)}
+    if clip_sd and modules.clip is not None:
+        params["clip"] = convert_clip_vision(clip_sd, modules)
+    return params
+
+
+def convert_clip_vision(sd: Dict[str, Any], modules) -> Dict[str, Any]:
+    """OpenAI-CLIP visual tower -> transformers FlaxCLIPVisionModel params.
+
+    Handles the ``visual.*`` layout (ViT-L/14): class/pos embeddings, 24
+    transformer blocks with in_proj qkv fused, final layernorm + projection."""
+    v = {k[len("visual."):]: val for k, val in sd.items() if k.startswith("visual.")}
+    if not v:
+        raise KeyError("No visual.* keys in CLIP state dict")
+    width = _t(v["conv1.weight"]).shape[0]
+    layers = {}
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in v:
+        p = f"transformer.resblocks.{i}"
+        qkv_w = _t(v[f"{p}.attn.in_proj_weight"])  # (3w, w)
+        qkv_b = _t(v[f"{p}.attn.in_proj_bias"])
+        qw, kw, vw = np.split(qkv_w, 3, 0)
+        qb, kb, vb = np.split(qkv_b, 3, 0)
+        layers[f"layers_{i}"] = {
+            "layer_norm1": {"scale": _t(v[f"{p}.ln_1.weight"]), "bias": _t(v[f"{p}.ln_1.bias"])},
+            "self_attn": {
+                "q_proj": {"kernel": qw.T, "bias": qb},
+                "k_proj": {"kernel": kw.T, "bias": kb},
+                "v_proj": {"kernel": vw.T, "bias": vb},
+                "out_proj": {"kernel": _t(v[f"{p}.attn.out_proj.weight"]).T,
+                             "bias": _t(v[f"{p}.attn.out_proj.bias"])},
+            },
+            "layer_norm2": {"scale": _t(v[f"{p}.ln_2.weight"]), "bias": _t(v[f"{p}.ln_2.bias"])},
+            "mlp": {
+                "fc1": {"kernel": _t(v[f"{p}.mlp.c_fc.weight"]).T, "bias": _t(v[f"{p}.mlp.c_fc.bias"])},
+                "fc2": {"kernel": _t(v[f"{p}.mlp.c_proj.weight"]).T, "bias": _t(v[f"{p}.mlp.c_proj.bias"])},
+            },
+        }
+        i += 1
+
+    vision = {
+        "vision_model": {
+            "embeddings": {
+                "class_embedding": _t(v["class_embedding"]),
+                "patch_embedding": {"kernel": _t(v["conv1.weight"]).transpose(2, 3, 1, 0)},
+                "position_embedding": {"embedding": _t(v["positional_embedding"])},
+            },
+            "pre_layrnorm": {"scale": _t(v["ln_pre.weight"]), "bias": _t(v["ln_pre.bias"])},
+            "encoder": {"layers": layers},
+            "post_layernorm": {"scale": _t(v["ln_post.weight"]), "bias": _t(v["ln_post.bias"])},
+        }
+    }
+    return {"vision": vision, "projection": _t(v["proj"])}

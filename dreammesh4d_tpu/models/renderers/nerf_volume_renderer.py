@@ -1,0 +1,198 @@
+"""Volume renderer for the implicit NeRF geometry (static Zero123 stage).
+
+TPU-first replacement for the nerfacc-based renderer
+(threestudio/models/renderers/nerf_volume_renderer.py:20-471): instead of
+occupancy-grid ray marching with dynamic sample counts (CUDA), rendering uses
+hierarchical importance sampling with STATIC shapes — uniform stratified
+coarse samples inside the ray/bbox interval, then inverse-CDF resampling from
+the coarse density weights (the pure-torch ImportanceEstimator the reference
+also ships, threestudio/models/estimators.py:16-118), then one fine
+evaluation + front-to-back compositing producing comp_rgb / depth / opacity /
+z-variance + per-sample weights/normals for the orientation loss
+(nerf_volume_renderer.py:312-349).
+
+Everything vmaps over rays and jits; ray batches are (R, 3) flat.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.implicit_volume import (
+    ImplicitVolumeConfig,
+    forward_field,
+    forward_with_normal,
+)
+
+
+@dataclass
+class NeRFRendererConfig:
+    num_samples_coarse: int = 64
+    num_samples_fine: int = 64
+    radius: float = 2.0
+    near: float = 0.05
+    randomized: bool = True
+
+
+def ray_bbox_intersect(rays_o, rays_d, radius: float, near: float):
+    """Slab test against the [-radius, radius]^3 box -> (t_near, t_far)."""
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-8, 1e-8, rays_d)
+    t0 = (-radius - rays_o) * inv_d
+    t1 = (radius - rays_o) * inv_d
+    t_min = jnp.minimum(t0, t1).max(-1)
+    t_max = jnp.maximum(t0, t1).min(-1)
+    t_near = jnp.maximum(t_min, near)
+    t_far = jnp.maximum(t_max, t_near + 1e-4)
+    return t_near, t_far
+
+
+def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
+               rng: Optional[jax.Array]) -> jnp.ndarray:
+    """Inverse-CDF sampling (ImportanceEstimator equivalent,
+    estimators.py:60-118).  bins (R, S+1), weights (R, S) -> (R, n)."""
+    weights = weights + 1e-5
+    pdf = weights / weights.sum(-1, keepdims=True)
+    cdf = jnp.concatenate([jnp.zeros_like(pdf[:, :1]), jnp.cumsum(pdf, -1)], -1)
+    R = bins.shape[0]
+    if rng is not None:
+        u = (jnp.arange(n_samples) + jax.random.uniform(rng, (R, n_samples))) / n_samples
+    else:
+        u = jnp.broadcast_to((jnp.arange(n_samples) + 0.5) / n_samples, (R, n_samples))
+    idx = jnp.clip(jax.vmap(jnp.searchsorted)(cdf, u) - 1, 0, weights.shape[-1] - 1)
+    cdf_lo = jnp.take_along_axis(cdf, idx, -1)
+    cdf_hi = jnp.take_along_axis(cdf, idx + 1, -1)
+    bin_lo = jnp.take_along_axis(bins, idx, -1)
+    bin_hi = jnp.take_along_axis(bins, idx + 1, -1)
+    frac = jnp.clip((u - cdf_lo) / jnp.maximum(cdf_hi - cdf_lo, 1e-8), 0, 1)
+    return bin_lo + frac * (bin_hi - bin_lo)
+
+
+def _composite(density: jnp.ndarray, dt: jnp.ndarray):
+    """density (R,S,1), dt (R,S) -> weights (R,S), opacity (R,1)."""
+    alpha = 1.0 - jnp.exp(-density[..., 0] * dt)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, -1)
+    trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1)
+    weights = alpha * trans
+    return weights, weights.sum(-1, keepdims=True)
+
+
+def render_rays(
+    geo_params,
+    geo_cfg: ImplicitVolumeConfig,
+    rcfg: NeRFRendererConfig,
+    rays_o: jnp.ndarray,  # (R, 3)
+    rays_d: jnp.ndarray,  # (R, 3) normalized
+    light_positions: jnp.ndarray,  # (R, 3)
+    bg_color: jnp.ndarray,  # (3,) or (R, 3)
+    rng: Optional[jax.Array] = None,
+    ambient_ratio: Optional[float] = None,
+    shading_normal_only: bool = False,
+    level_mask=None,
+    material=None,
+) -> Dict[str, jnp.ndarray]:
+    R = rays_o.shape[0]
+    S1, S2 = rcfg.num_samples_coarse, rcfg.num_samples_fine
+    t_near, t_far = ray_bbox_intersect(rays_o, rays_d, rcfg.radius, rcfg.near)
+
+    k1 = k2 = None
+    if rng is not None and rcfg.randomized:
+        k1, k2 = jax.random.split(rng)
+
+    # coarse: stratified uniform
+    su = (jnp.arange(S1 + 1) / S1)[None, :]
+    bins = t_near[:, None] + (t_far - t_near)[:, None] * su  # (R, S1+1)
+    if k1 is not None:
+        jitter = jax.random.uniform(k1, (R, S1)) / S1
+        t_coarse = bins[:, :-1] + (t_far - t_near)[:, None] * jitter
+    else:
+        t_coarse = 0.5 * (bins[:, :-1] + bins[:, 1:])
+    pts_coarse = rays_o[:, None] + t_coarse[..., None] * rays_d[:, None]
+    sigma_coarse, _ = forward_field(geo_params, geo_cfg, pts_coarse, level_mask)
+    sigma_coarse = jax.lax.stop_gradient(sigma_coarse)
+    dt_coarse = jnp.diff(bins, axis=-1)
+    w_coarse, _ = _composite(sigma_coarse, dt_coarse)
+
+    # fine: importance resample + merge + sort
+    t_fine = sample_pdf(bins, w_coarse, S2, k2)
+    t_all = jnp.sort(jnp.concatenate([t_coarse, t_fine], -1), -1)  # (R, S1+S2)
+    pts = rays_o[:, None] + t_all[..., None] * rays_d[:, None]
+    density, features, normal = forward_with_normal(geo_params, geo_cfg, pts, level_mask)
+
+    dt = jnp.diff(t_all, axis=-1)
+    dt = jnp.concatenate([dt, jnp.full_like(dt[:, :1], 1e-3)], -1)
+    weights, opacity = _composite(density, dt)
+
+    # shading
+    albedo = jax.nn.sigmoid(features[..., :3])
+    if material is not None:
+        rgb_samples = material.shade(
+            albedo, normal, pts, light_positions[:, None, :],
+            ambient_ratio=ambient_ratio, shading_normal_only=shading_normal_only,
+        )
+    else:
+        rgb_samples = albedo
+
+    from ...ops.safe_math import safe_normalize
+
+    comp_rgb_fg = (weights[..., None] * rgb_samples).sum(-2)
+    depth = (weights * t_all).sum(-1, keepdims=True)
+    comp_normal = safe_normalize((weights[..., None] * normal).sum(-2))
+    z_mean = depth / jnp.maximum(opacity, 1e-6)
+    z_var = (weights * (t_all - z_mean) ** 2).sum(-1, keepdims=True) / jnp.maximum(
+        opacity[:, 0], 1e-6
+    )[:, None]
+
+    bg = jnp.broadcast_to(bg_color, comp_rgb_fg.shape)
+    comp_rgb = comp_rgb_fg + (1.0 - opacity) * bg
+
+    return {
+        "comp_rgb": comp_rgb,
+        "comp_rgb_fg": comp_rgb_fg,
+        "comp_normal": comp_normal * 0.5 + 0.5,
+        "opacity": opacity,
+        "depth": depth,
+        "z_variance": z_var,
+        "weights": weights,
+        "normal": normal,
+        "t_dirs": jnp.broadcast_to(rays_d[:, None], normal.shape),
+    }
+
+
+def make_image_renderer(geo_cfg, rcfg, material=None, ray_chunk: int = 16384):
+    """Render (H, W) images by mapping flat ray chunks (eval path; parity with
+    chunk_batch, threestudio/utils/ops.py:113-177)."""
+
+    def render_image(geo_params, rays_o, rays_d, light_position, bg_color,
+                     level_mask=None, ambient_ratio=None):
+        H, W = rays_o.shape[:2]
+        ro = rays_o.reshape(-1, 3)
+        rd = rays_d.reshape(-1, 3)
+        lp = jnp.broadcast_to(light_position, ro.shape)
+        n = ro.shape[0]
+        pad = (-n) % ray_chunk
+        ro_p = jnp.concatenate([ro, jnp.zeros((pad, 3))], 0)
+        rd_p = jnp.concatenate([rd, jnp.ones((pad, 3)) * jnp.asarray([0, 0, 1.0])], 0)
+        lp_p = jnp.concatenate([lp, jnp.zeros((pad, 3))], 0)
+
+        def chunk_fn(args):
+            o, d, l = args
+            out = render_rays(
+                geo_params, geo_cfg, rcfg, o, d, l, bg_color, rng=None,
+                ambient_ratio=ambient_ratio, level_mask=level_mask,
+                material=material,
+            )
+            return {k: out[k] for k in ("comp_rgb", "comp_normal", "opacity", "depth")}
+
+        chunks = jax.lax.map(
+            chunk_fn,
+            (ro_p.reshape(-1, ray_chunk, 3), rd_p.reshape(-1, ray_chunk, 3),
+             lp_p.reshape(-1, ray_chunk, 3)),
+        )
+        out = {k: v.reshape(-1, v.shape[-1])[:n].reshape(H, W, -1) for k, v in chunks.items()}
+        return out
+
+    return render_image

@@ -44,11 +44,7 @@ def _grad_mask(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask, x, jax.lax.stop_gradient(x))
 
 
-def safe_normalize(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """L2-normalize with a NaN-free gradient at x=0 (unlike ``x/(‖x‖+ε)``,
-    whose ‖x‖ derivative is 0/0 at the origin — every background pixel of the
-    splatted-normal channel lands there)."""
-    return x * jax.lax.rsqrt((x * x).sum(-1, keepdims=True) + eps)
+from ...ops.safe_math import safe_normalize  # noqa: E402  (shared NaN-free normalize)
 
 
 def render_view(

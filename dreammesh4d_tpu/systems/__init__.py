@@ -1,1 +1,1 @@
-from . import sugar_4dgen, sugar_static  # noqa: F401
+from . import sugar_4dgen, sugar_static, zero123_system  # noqa: F401

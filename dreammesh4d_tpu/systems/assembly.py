@@ -1,0 +1,554 @@
+"""Experiment assembly: config -> runnable stage experiments.
+
+This is the layer the reference spreads across ``BaseLift3DSystem.configure``
++ Lightning wiring (threestudio/systems/base.py:249-303, launch.py:159-259):
+for each ``system_type`` it instantiates the data module, geometry, optimizer,
+guidance and the jitted train step, and exposes the trainer-facing callbacks
+(train_step / validate / export / checkpoint state).
+
+Guidance weights: if ``system.guidance.pretrained_model_name_or_path`` is
+missing on disk the SDS term is disabled with a warning (the reference would
+crash; here every stage stays runnable end-to-end for reconstruction-only
+workflows and CI).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import dreammesh4d_tpu as ds
+
+from ..config import ConfigDict
+from ..data.image import SingleImageConfig, SingleImageDataModule
+from ..data.temporal_image import TemporalImageConfig, TemporalImageDataModule
+from ..data.uncond import RandomCameraConfig
+from ..export.mesh_io import MeshData, load_mesh, save_obj, save_ply_mesh
+from ..models.geometry.sugar import SuGaRConfig, create_sugar, gaussian_attributes
+from ..ops.gs import RasterizerConfig
+from ..ops.hashgrid import progressive_level_mask
+from ..utils.saving import Saver
+from ..utils.schedule import C
+
+
+def _sub(cfg, key, default=None):
+    v = cfg.get(key, default if default is not None else {})
+    return v if isinstance(v, dict) else v
+
+
+def _filtered_dataclass(cls, cfg: dict):
+    """Build dataclass from a config dict, ignoring unknown keys (the YAML
+    surface carries reference-only keys we accept for compatibility)."""
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in dict(cfg).items() if k in names})
+
+
+def make_random_camera_config(cfg: dict) -> RandomCameraConfig:
+    return _filtered_dataclass(RandomCameraConfig, cfg)
+
+
+def make_single_image_datamodule(data_cfg: dict, seed: int) -> SingleImageDataModule:
+    rc = make_random_camera_config(dict(data_cfg.get("random_camera", {})))
+    c = _filtered_dataclass(SingleImageConfig, {k: v for k, v in dict(data_cfg).items()
+                                                if k != "random_camera"})
+    c.random_camera = rc
+    return SingleImageDataModule(c, seed)
+
+
+def make_temporal_datamodule(data_cfg: dict, seed: int) -> TemporalImageDataModule:
+    rc = make_random_camera_config(dict(data_cfg.get("random_camera", {})))
+    c = _filtered_dataclass(TemporalImageConfig, {k: v for k, v in dict(data_cfg).items()
+                                                  if k != "random_camera"})
+    c.random_camera = rc
+    return TemporalImageDataModule(c, seed)
+
+
+def build_raster_config(height: int, width: int, fovy_deg: float,
+                        system_cfg: dict) -> RasterizerConfig:
+    t = math.tan(math.radians(fovy_deg) / 2)
+    r = system_cfg.get("renderer", {})
+    return RasterizerConfig(
+        width=width, height=height, tan_fovx=t, tan_fovy=t,
+        tile_capacity=int(r.get("tile_capacity", 1024)),
+        max_tiles_per_gaussian=int(r.get("max_tiles_per_gaussian", 16)),
+        chunk=int(r.get("chunk", 32)),
+        backend=str(r.get("backend", "pallas")),
+        interpret=bool(r.get("interpret", False)),
+    )
+
+
+def maybe_build_guidance(system_cfg: dict, num_frames: int = 1):
+    """Return (guidance, params, bank_builder) or (None, None, None) when the
+    diffusion checkpoint is unavailable."""
+    gcfg_dict = dict(system_cfg.get("guidance", {}))
+    path = gcfg_dict.get("pretrained_model_name_or_path", "")
+    if not path or not os.path.exists(str(path)):
+        ds.warn("Zero123 checkpoint not found (%r) — SDS guidance disabled.", path)
+        return None
+    from ..models.guidance.zero123 import StableZero123Guidance, Zero123Config
+
+    zcfg = _filtered_dataclass(Zero123Config, gcfg_dict)
+    guidance = StableZero123Guidance(zcfg)
+    from ..models.guidance.zero123.convert import load_zero123_checkpoint
+
+    params = load_zero123_checkpoint(str(path), guidance.modules)
+    return guidance, params
+
+
+# ---------------------------------------------------------------------------
+# sugar-static experiment
+# ---------------------------------------------------------------------------
+
+
+class SugarStaticExperiment:
+    def __init__(self, cfg):
+        from ..systems.optim import sugar_optimizer
+        from ..systems.sugar_static import (
+            SugarStaticLosses,
+            init_state,
+            make_render_eval,
+            make_train_step,
+        )
+
+        self.cfg = cfg
+        system = cfg.system
+        self.saver = Saver(os.path.join(cfg.trial_dir, "save"))
+        self.data = make_single_image_datamodule(cfg.data, cfg.seed)
+
+        geo_cfg_d = dict(system.get("geometry", {}))
+        mesh_path = geo_cfg_d.get("surface_mesh_to_bind_path")
+        mesh = load_mesh(str(mesh_path))
+        sugar_cfg = _filtered_dataclass(SuGaRConfig, {
+            k: v for k, v in geo_cfg_d.items()
+            if k in ("n_gaussians_per_surface_triangle", "sh_degree", "init_gs_scales_s",
+                     "color_clip", "spatial_extent")
+        })
+        if "init_gs_opacity" in geo_cfg_d:
+            sugar_cfg.init_gs_opacity = float(geo_cfg_d["init_gs_opacity"])
+        params, self.static = create_sugar(sugar_cfg, mesh)
+
+        optimizer = sugar_optimizer(
+            position_lr=geo_cfg_d.get("position_lr", 0.00048),
+            scaling_lr=geo_cfg_d.get("scaling_lr", 0.005),
+            feature_lr=geo_cfg_d.get("feature_lr", 0.001),
+            opacity_lr=geo_cfg_d.get("opacity_lr", 0.02),
+            rotation_lr=geo_cfg_d.get("rotation_lr", 0.001),
+            spatial_lr_scale=float(geo_cfg_d.get("spatial_lr_scale", 1.0)),
+        )
+        loss_cfg = _filtered_dataclass(SugarStaticLosses, {
+            k: v for k, v in dict(system.get("loss", {})).items()
+            if k in SugarStaticLosses.__dataclass_fields__
+        })
+
+        d = self.data.cfg
+        self.raster_cfg = build_raster_config(
+            d.random_camera.height, d.random_camera.width, d.default_fovy_deg, system
+        )
+
+        guidance_pack = maybe_build_guidance(system)
+        guidance_fn = None
+        if guidance_pack is not None:
+            guidance, gparams = guidance_pack
+            ref = self.data.ref_batch()
+            bank = guidance.prepare_embeddings(gparams, ref["ref_rgb"])
+
+            def guidance_fn(rng, rgb, batch):  # noqa: F811
+                return guidance.sds_loss(
+                    gparams, bank, rng, rgb, batch["elevation"], batch["azimuth"],
+                    batch["camera_distances"], None, batch.get("step", 0),
+                )["loss_sds"]
+
+        invert_bg_prob = float(system.get("renderer", {}).get("invert_bg_prob", 1.0))
+        self._train_step = make_train_step(
+            self.static, self.raster_cfg, optimizer, loss_cfg, guidance_fn,
+            invert_bg_prob=invert_bg_prob,
+        )
+        self._render_eval = make_render_eval(self.static, self.raster_cfg)
+        self.state = init_state(params, optimizer)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+    def train_step(self, step: int) -> Dict[str, float]:
+        batch = self.data.train_batch(step)
+        batch = {k: batch[k] for k in ("ref_cameras", "ref_rgb", "ref_mask", "rand_cameras")}
+        self.rng, k = jax.random.split(self.rng)
+        self.state, metrics = self._train_step(self.state, batch, k)
+        return metrics
+
+    def validate(self, step: int, test: bool = False) -> None:
+        n = self.data.cfg.random_camera.n_test_views if test else 8
+        orbit = self.data.random_sampler.orbit(n_views=n)
+        out = self._render_eval(self.state.params, orbit["rand_cameras"])
+        frames = [np.asarray(out["comp_rgb"][i]) for i in range(n)]
+        if test:
+            self.saver.save_img_sequence(f"it{step}-test.mp4", frames, fps=10)
+        else:
+            for i in range(min(n, 4)):
+                self.saver.save_image_grid(
+                    f"it{step}-{i}.png",
+                    [
+                        {"type": "rgb", "img": np.asarray(out["comp_rgb"][i])},
+                        {"type": "rgb", "img": np.asarray(out["comp_normal"][i])},
+                        {"type": "grayscale", "img": np.asarray(out["comp_mask"][i])},
+                    ],
+                )
+
+    def export(self) -> None:
+        from ..ops.sh import sh_dc_to_rgb
+
+        params = self.state.params
+        attrs = gaussian_attributes(params, self.static)
+        mesh = MeshData(
+            v_pos=np.asarray(params.points),
+            t_pos_idx=np.asarray(self.static.faces),
+        )
+        save_obj(self.saver.path("refined_mesh.obj"), mesh)
+        from ..export.gaussian_io import save_gaussians_ply
+
+        save_gaussians_ply(
+            self.saver.path("gaussians.ply"),
+            np.asarray(attrs.means3d),
+            np.asarray(jnp.swapaxes(attrs.sh, -1, -2)),
+            np.asarray(params.density_logits),
+            np.asarray(jnp.log(attrs.scales)),
+            np.asarray(attrs.quats),
+        )
+
+    # checkpoint protocol
+    def state_for_checkpoint(self):
+        return self.state
+
+    def load_state(self, state):
+        self.state = state
+
+
+# ---------------------------------------------------------------------------
+# sugar-4dgen experiment
+# ---------------------------------------------------------------------------
+
+
+class Sugar4DGenExperiment:
+    def __init__(self, cfg):
+        import optax
+
+        from ..models.geometry.deformation import DeformationConfig, init_deformation
+        from ..models.geometry.dynamic_sugar import DynamicSuGaRConfig, build_dynamic_static
+        from ..ops.meshops import build_one_ring, cotangent_weights
+        from ..systems.sugar_4dgen import (
+            Sugar4DGenLosses,
+            init_dyn_state,
+            make_dynamic_render_eval,
+            make_dynamic_train_step,
+        )
+
+        self.cfg = cfg
+        system = cfg.system
+        self.saver = Saver(os.path.join(cfg.trial_dir, "save"))
+        self.data = make_temporal_datamodule(cfg.data, cfg.seed)
+
+        geo_cfg_d = dict(system.get("geometry", {}))
+        mesh_path = geo_cfg_d.get("surface_mesh_to_bind_path")
+        mesh = load_mesh(str(mesh_path))
+        sugar_cfg = _filtered_dataclass(SuGaRConfig, {
+            k: v for k, v in geo_cfg_d.items()
+            if k in ("n_gaussians_per_surface_triangle", "sh_degree", "init_gs_scales_s",
+                     "color_clip", "spatial_extent")
+        })
+        sugar_params, sugar_static = create_sugar(sugar_cfg, mesh)
+
+        # cross-stage weight transfer (system.weights=<static ckpt>)
+        weights = cfg.system.get("weights")
+        if weights:
+            from ..utils.checkpoint import restore_checkpoint
+
+            try:
+                prev = restore_checkpoint(str(weights), None)
+                sugar_params = jax.tree.map(
+                    jnp.asarray, type(sugar_params)(**prev["params"])
+                ) if "params" in prev else sugar_params
+                ds.info("Loaded static SuGaR weights from %s", weights)
+            except Exception as e:  # noqa: BLE001
+                ds.warn("Failed to load weights %s: %s", weights, e)
+
+        deform_cfg = _filtered_dataclass(DeformationConfig, dict(geo_cfg_d.get("deformation", {})))
+        dyn_cfg = DynamicSuGaRConfig(
+            num_frames=int(geo_cfg_d.get("num_frames", 32)),
+            n_dg_nodes=int(geo_cfg_d.get("n_dg_nodes", 1000)),
+            dg_node_connectivity=int(geo_cfg_d.get("dg_node_connectivity", 4)),
+            dist_mode=str(geo_cfg_d.get("dist_mode", "geodisc")),
+            skinning_method=str(geo_cfg_d.get("skinning_method", "hybrid")),
+            d_scale=bool(geo_cfg_d.get("d_scale", True)),
+            deformation=deform_cfg,
+        )
+        self.static = build_dynamic_static(dyn_cfg, sugar_static, np.asarray(sugar_params.points))
+        self.sugar_params = sugar_params
+        self.dyn_cfg = dyn_cfg
+
+        ring = build_one_ring(np.asarray(sugar_static.faces), len(sugar_params.points))
+        arap_w = cotangent_weights(np.asarray(sugar_params.points),
+                                   np.asarray(sugar_static.faces), ring)
+
+        lr = float(system.get("optimizer", {}).get("args", {}).get("lr", 1.6e-3))
+        optimizer = optax.adam(lr, b1=0.9, b2=0.99)
+        loss_cfg = _filtered_dataclass(Sugar4DGenLosses, {
+            k: v for k, v in dict(system.get("loss", {})).items()
+            if k in Sugar4DGenLosses.__dataclass_fields__
+        })
+
+        d = self.data.cfg
+        self.raster_cfg = build_raster_config(
+            d.random_camera.height, d.random_camera.width, d.default_fovy_deg, system
+        )
+
+        guidance_fn = None
+        guidance_pack = maybe_build_guidance(system)
+        if guidance_pack is not None:
+            guidance, gparams = guidance_pack
+            frames_rgb, _ = self.data.load_frames()
+            bank = guidance.prepare_embeddings(gparams, jnp.asarray(frames_rgb))
+
+            def guidance_fn(rng, rgb, batch):  # noqa: F811
+                return guidance.sds_loss(
+                    gparams, bank, rng, rgb, batch["elevation"], batch["azimuth"],
+                    batch["camera_distances"], batch["frame_indices"], 0,
+                )["loss_sds"]
+
+        freq = dict(system.get("freq", {}))
+        self.inter_frame_every = int(freq.get("inter_frame_reg", 10))
+        self.num_inter_frames = int(system.get("num_inter_frames", 10))
+        self.length_inter_frames = float(system.get("length_inter_frames", 0.2))
+
+        deform_params = init_deformation(deform_cfg, jax.random.PRNGKey(cfg.seed))
+        self._train_step = make_dynamic_train_step(
+            sugar_params, self.static, deform_cfg, self.raster_cfg, optimizer,
+            loss_cfg, jnp.asarray(arap_w), guidance_fn,
+            invert_bg_prob=float(system.get("renderer", {}).get("invert_bg_prob", 1.0)),
+            arap_start_step=int(freq.get("milestone_arap_reg", 0)),
+        )
+        self._render_eval = make_dynamic_render_eval(
+            sugar_params, self.static, deform_cfg, self.raster_cfg
+        )
+        self.state = init_dyn_state(deform_params, optimizer)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+    def train_step(self, step: int) -> Dict[str, float]:
+        batch = self.data.train_batch(step)
+        batch["inter_timestamps"] = self.data.inter_frame_timestamps(
+            self.num_inter_frames, self.length_inter_frames
+        )
+        keep = ("timestamps", "frame_indices", "ref_cameras", "ref_rgb", "ref_mask",
+                "rand_cameras", "inter_timestamps")
+        batch = {k: batch[k] for k in keep}
+        self.rng, k = jax.random.split(self.rng)
+        self.state, metrics = self._train_step(self.state, batch, k)
+        return metrics
+
+    def validate(self, step: int, test: bool = False) -> None:
+        for batch in self.data.eval_batches():
+            out = self._render_eval(
+                self.state.deform_params, batch["cameras"], batch["timestamps"]
+            )
+            frames = [np.asarray(out["comp_rgb"][i]) for i in range(len(batch["timestamps"]))]
+            self.saver.save_img_sequence(
+                f"it{step}-az{int(batch['azimuth'])}.mp4", frames, fps=10
+            )
+            if not test:
+                break  # one azimuth during training validation
+
+    def export(self) -> None:
+        """32 per-timestamp OBJ meshes (vertex-colored; UV texture baking in
+        export/texture_bake.py, parity target sugar_4dgen.py:594-637)."""
+        from ..models.geometry.dynamic_sugar import timed_all
+        from ..ops.sh import sh_dc_to_rgb
+
+        L = self.data.video_length
+        from ..data.temporal_image import frame_timestamps
+
+        ts = jnp.asarray(frame_timestamps(L))
+        deform_cfg = self.dyn_cfg.deformation
+        _, vert = timed_all(self.sugar_params, self.state.deform_params,
+                            deform_cfg, self.static, ts)
+        faces = np.asarray(self.static.sugar.faces)
+        for i in range(L):
+            mesh = MeshData(v_pos=np.asarray(vert.xyz[i]), t_pos_idx=faces)
+            save_obj(self.saver.path(f"4d_export/frame_{i:03d}.obj"), mesh)
+
+    def state_for_checkpoint(self):
+        return self.state
+
+    def load_state(self, state):
+        self.state = state
+
+
+# ---------------------------------------------------------------------------
+# zero123 (static NeRF) experiment
+# ---------------------------------------------------------------------------
+
+
+class Zero123Experiment:
+    def __init__(self, cfg):
+        import optax
+
+        from ..models.geometry.implicit_volume import (
+            ImplicitVolumeConfig,
+            init_implicit_volume,
+        )
+        from ..models.materials import DiffuseWithPointLightMaterial
+        from ..models.renderers.nerf_volume_renderer import (
+            NeRFRendererConfig,
+            make_image_renderer,
+        )
+        from ..ops.hashgrid import HashGridConfig, progressive_level_mask
+        from ..systems.zero123_system import (
+            Zero123Losses,
+            init_nerf_state,
+            make_zero123_train_step,
+        )
+
+        self.cfg = cfg
+        system = cfg.system
+        self.saver = Saver(os.path.join(cfg.trial_dir, "save"))
+        self.data = make_single_image_datamodule(cfg.data, cfg.seed)
+
+        geo_d = dict(system.get("geometry", {}))
+        pos_enc = dict(geo_d.get("pos_encoding_config", {}))
+        hg = HashGridConfig(
+            n_levels=int(pos_enc.get("n_levels", 16)),
+            n_features_per_level=int(pos_enc.get("n_features_per_level", 2)),
+            log2_hashmap_size=int(pos_enc.get("log2_hashmap_size", 19)),
+            base_resolution=int(pos_enc.get("base_resolution", 16)),
+            per_level_scale=float(pos_enc.get("per_level_scale", 1.447269237440378)),
+        )
+        self.geo_cfg = ImplicitVolumeConfig(
+            radius=float(geo_d.get("radius", 2.0)),
+            density_bias=geo_d.get("density_bias", "blob_magic3d"),
+            density_activation=str(geo_d.get("density_activation", "softplus")),
+            density_blob_scale=float(geo_d.get("density_blob_scale", 10.0)),
+            density_blob_std=float(geo_d.get("density_blob_std", 0.5)),
+            normal_type=str(geo_d.get("normal_type", "analytic")),
+            hashgrid=hg,
+        )
+        self.rcfg = NeRFRendererConfig(radius=self.geo_cfg.radius)
+        self.material = DiffuseWithPointLightMaterial()
+        self.hg = hg
+
+        opt_args = dict(system.get("optimizer", {}).get("args", {}))
+        optimizer = optax.adam(
+            float(opt_args.get("lr", 0.01)),
+            b1=float(opt_args.get("betas", [0.9, 0.99])[0]),
+            b2=float(opt_args.get("betas", [0.9, 0.99])[1]),
+            eps=float(opt_args.get("eps", 1e-8)),
+        )
+        loss_cfg = _filtered_dataclass(Zero123Losses, {
+            k: v for k, v in dict(system.get("loss", {})).items()
+            if k in Zero123Losses.__dataclass_fields__
+        })
+
+        guidance_fn = None
+        guidance_pack = maybe_build_guidance(system)
+        if guidance_pack is not None:
+            guidance, gparams = guidance_pack
+            ref = self.data.ref_batch()
+            bank = guidance.prepare_embeddings(gparams, ref["ref_rgb"])
+
+            def guidance_fn(rng, rgb, batch):  # noqa: F811
+                return guidance.sds_loss(
+                    gparams, bank, rng, rgb, batch["elevation"], batch["azimuth"],
+                    batch["camera_distances"], None, 0,
+                )["loss_sds"]
+
+        self._train_step = make_zero123_train_step(
+            self.geo_cfg, self.rcfg, optimizer, loss_cfg, self.material, guidance_fn
+        )
+        self._image_renderer = make_image_renderer(self.geo_cfg, self.rcfg, self.material)
+        params = init_implicit_volume(self.geo_cfg, jax.random.PRNGKey(cfg.seed))
+        self.state = init_nerf_state(params, optimizer)
+        self.rng = jax.random.PRNGKey(cfg.seed + 1)
+        self.ambient_only_steps = int(system.get("material", {}).get("ambient_only_steps", 0))
+
+    def train_step(self, step: int) -> Dict[str, float]:
+        batch = self.data.train_batch(step)
+        ref = self.data.ref_batch()
+        H = W = 64  # rand-view training resolution (stable-zero123.yaml batches)
+        rand = batch
+        b = {
+            "ref_rays_o": ref["ref_rays_o"].reshape(-1, 3),
+            "ref_rays_d": ref["ref_rays_d"].reshape(-1, 3),
+            "ref_rgb": ref["ref_rgb"].reshape(-1, 3),
+            "ref_mask": ref["ref_mask"].reshape(-1, 1),
+            "ref_light": jnp.asarray([0.0, 0.0, 3.0]),
+            "rand_rays_o": rand["rays_o"],
+            "rand_rays_d": rand["rays_d"],
+            "light_positions": rand["light_positions"],
+            "elevation": rand["elevation"],
+            "azimuth": rand["azimuth"],
+            "camera_distances": rand["camera_distances"],
+        }
+        lm = jnp.asarray(progressive_level_mask(self.hg, step))
+        ambient = 1.0 if step < self.ambient_only_steps else 0.1 + 0.9 * float(np.random.rand())
+        self.rng, k = jax.random.split(self.rng)
+        self.state, metrics = self._train_step(self.state, b, k, lm, ambient)
+        return metrics
+
+    def validate(self, step: int, test: bool = False) -> None:
+        orbit = self.data.random_sampler.orbit(n_views=4, height=128, width=128)
+        import math as _math
+
+        from ..ops.cameras import get_ray_directions, get_rays
+
+        frames = []
+        fovy = _math.radians(self.data.cfg.default_fovy_deg)
+        dirs = get_ray_directions(128, 128, 0.5 * 128 / _math.tan(0.5 * fovy))
+        for i in range(4):
+            ro, rd = get_rays(dirs, orbit["c2w"][i], keepdim=True)
+            out = self._image_renderer(
+                self.state.geo_params, ro, rd, jnp.asarray([0.0, 0.0, 3.0]),
+                jnp.ones(3), ambient_ratio=1.0,
+            )
+            frames.append(np.asarray(out["comp_rgb"]))
+        self.saver.save_image_grid(
+            f"it{step}-nerf.png", [{"type": "rgb", "img": f} for f in frames]
+        )
+
+    def export(self) -> None:
+        """mc-cpu mesh export with vertex colors (mesh-exporter fmt=obj path,
+        threestudio/models/exporters/mesh_exporter.py:43-175)."""
+        from ..export.isosurface import extract_isosurface
+        from ..models.geometry.implicit_volume import export_density_grid, forward_field
+
+        res = int(self.cfg.system.get("exporter", {}).get("isosurface_resolution", 128))
+        grid = export_density_grid(self.state.geo_params, self.geo_cfg, res)
+        r = self.geo_cfg.radius
+        mesh = extract_isosurface(grid, None, (-r,) * 3, (r,) * 3)
+        if mesh.n_verts:
+            _, feats = forward_field(self.state.geo_params, self.geo_cfg,
+                                     jnp.asarray(mesh.v_pos))
+            mesh.v_rgb = np.asarray(jax.nn.sigmoid(feats))
+        save_obj(self.saver.path("model.obj"), mesh)
+
+    def state_for_checkpoint(self):
+        return self.state
+
+    def load_state(self, state):
+        self.state = state
+
+
+EXPERIMENTS = {
+    "sugar-static-system": SugarStaticExperiment,
+    "sugar-4dgen-system": Sugar4DGenExperiment,
+    "zero123-system": Zero123Experiment,
+}
+
+
+def build_experiment(cfg):
+    if cfg.system_type not in EXPERIMENTS:
+        raise KeyError(
+            f"Unknown system_type {cfg.system_type!r}; known: {sorted(EXPERIMENTS)}"
+        )
+    return EXPERIMENTS[cfg.system_type](cfg)

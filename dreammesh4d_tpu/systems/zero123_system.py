@@ -1,0 +1,147 @@
+"""zero123-system: static NeRF generation stage as one jitted train step.
+
+Functional redesign of the reference Lightning system
+(threestudio/systems/zero123.py:17-390) with the stable-zero123 losses
+(configs/stable-zero123.yaml:116-127):
+
+- ref substep: rgb·mask MSE + mask MSE on the reference view;
+- rand substep: Zero123 SDS (pluggable guidance) on random cameras;
+- regularizers: 2D normal smoothness, orientation loss
+  (Σ w·max(n·d,0)² / #opaque, zero123.py:172-185), sparsity
+  sqrt(o²+0.01), opacity BCE(o,o) (zero123.py:187-194);
+- loss weights are C() schedules of the traced step.
+
+Rays are pre-generated host-side by the data modules; the step consumes flat
+(R,3) ray bundles for the ref view and (B,H,W,3) bundles for random views.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import dreammesh4d_tpu as ds
+
+from ..models.geometry.implicit_volume import ImplicitVolumeConfig
+from ..models.renderers.nerf_volume_renderer import NeRFRendererConfig, render_rays
+from ..ops.cameras import binary_cross_entropy
+from ..utils.schedule import C_jax
+
+
+@dataclass
+class Zero123Losses:
+    lambda_sds: Any = 0.1
+    lambda_rgb: Any = field(default_factory=lambda: [100, 500.0, 1000.0, 400])
+    lambda_mask: Any = 50.0
+    lambda_normal_smooth: Any = field(default_factory=lambda: [100, 7.0, 5.0, 150, 10.0, 200])
+    lambda_orient: Any = 1.0
+    lambda_sparsity: Any = 0.5
+    lambda_opaque: Any = 0.5
+
+
+class NeRFTrainState(NamedTuple):
+    geo_params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_nerf_state(geo_params, optimizer) -> NeRFTrainState:
+    return NeRFTrainState(geo_params, optimizer.init(geo_params), jnp.zeros((), jnp.int32))
+
+
+def make_zero123_train_step(
+    geo_cfg: ImplicitVolumeConfig,
+    rcfg: NeRFRendererConfig,
+    optimizer: optax.GradientTransformation,
+    losses: Zero123Losses,
+    material=None,
+    guidance_fn: Optional[Callable] = None,
+    bg_color=(1.0, 1.0, 1.0),
+    rand_hw: int = 64,
+):
+    """batch layout:
+    - ``ref_rays_o/ref_rays_d`` (R, 3) flat ref-view rays, ``ref_rgb`` (R,3),
+      ``ref_mask`` (R,1), ``ref_light`` (3,)
+    - ``rand_rays_o/rand_rays_d`` (B, H, W, 3), ``light_positions`` (B,3)
+      + guidance keys (elevation/azimuth/camera_distances)
+    """
+    bg = jnp.asarray(bg_color, jnp.float32)
+
+    def loss_fn(geo_params, batch, rng, step, level_mask, ambient_ratio):
+        terms: Dict[str, jnp.ndarray] = {}
+        k_ref, k_rand, k_guid = jax.random.split(rng, 3)
+
+        # --- ref substep ---------------------------------------------------
+        ref_out = render_rays(
+            geo_params, geo_cfg, rcfg, batch["ref_rays_o"], batch["ref_rays_d"],
+            jnp.broadcast_to(batch["ref_light"], batch["ref_rays_o"].shape),
+            bg, k_ref, ambient_ratio=ambient_ratio, level_mask=level_mask,
+            material=material,
+        )
+        gt_mask = batch["ref_mask"]
+        gt_rgb = batch["ref_rgb"] * gt_mask
+        terms["rgb"] = ((gt_rgb - ref_out["comp_rgb"] * gt_mask) ** 2).mean()
+        terms["mask"] = ((gt_mask - ref_out["opacity"]) ** 2).mean()
+
+        # --- rand substep --------------------------------------------------
+        B, H, W = batch["rand_rays_o"].shape[:3]
+        ro = batch["rand_rays_o"].reshape(-1, 3)
+        rd = batch["rand_rays_d"].reshape(-1, 3)
+        lp = jnp.repeat(batch["light_positions"], H * W, axis=0)
+        rand_out = render_rays(
+            geo_params, geo_cfg, rcfg, ro, rd, lp, bg, k_rand,
+            ambient_ratio=ambient_ratio, level_mask=level_mask, material=material,
+        )
+        rgb_img = rand_out["comp_rgb"].reshape(B, H, W, 3)
+        if guidance_fn is not None:
+            terms["sds"] = guidance_fn(k_guid, rgb_img, batch)
+
+        normal_img = rand_out["comp_normal"].reshape(B, H, W, 3)
+        terms["normal_smooth"] = (
+            (normal_img[:, 1:] - normal_img[:, :-1]) ** 2
+        ).mean() + ((normal_img[:, :, 1:] - normal_img[:, :, :-1]) ** 2).mean()
+
+        w_det = jax.lax.stop_gradient(rand_out["weights"])
+        ndotd = (rand_out["normal"] * rand_out["t_dirs"]).sum(-1)
+        n_opaque = jnp.maximum((rand_out["opacity"] > 0).sum(), 1)
+        terms["orient"] = (w_det * jnp.clip(ndotd, 0.0) ** 2).sum() / n_opaque
+        terms["sparsity"] = jnp.sqrt(rand_out["opacity"] ** 2 + 0.01).mean()
+        oc = jnp.clip(rand_out["opacity"], 1e-3, 1 - 1e-3)
+        terms["opaque"] = binary_cross_entropy(oc, oc)
+
+        weights_map = {
+            "sds": losses.lambda_sds, "rgb": losses.lambda_rgb,
+            "mask": losses.lambda_mask, "normal_smooth": losses.lambda_normal_smooth,
+            "orient": losses.lambda_orient, "sparsity": losses.lambda_sparsity,
+            "opaque": losses.lambda_opaque,
+        }
+        total = jnp.zeros((), jnp.float32)
+        for name, value in terms.items():
+            total = total + C_jax(weights_map[name], step) * value
+        metrics = {f"loss_{k}": v for k, v in terms.items()}
+        metrics["loss_total"] = total
+        metrics["psnr"] = -10.0 * jnp.log10(terms["rgb"] + 1e-8)
+        return total, metrics
+
+    @jax.jit
+    def train_step(state: NeRFTrainState, batch, rng, level_mask, ambient_ratio):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.geo_params, batch, rng, state.step, level_mask, ambient_ratio
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.geo_params)
+        geo_params = optax.apply_updates(state.geo_params, updates)
+        return NeRFTrainState(geo_params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+@ds.register("zero123-system")
+class Zero123System:
+    """Registry-facing wrapper (assembled by the launcher/trainer)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg

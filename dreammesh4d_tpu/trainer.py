@@ -1,0 +1,102 @@
+"""Training loop (Lightning-Trainer replacement).
+
+The reference delegates the run loop to PyTorch Lightning
+(launch.py:228-259).  Here the loop is a plain host loop around jitted train
+steps: metrics logging (CSV + stdout), periodic validation, orbax
+checkpointing, resume, and the ``C()``-schedule step bookkeeping
+(``true_global_step`` semantics, threestudio/systems/base.py:64-99).
+
+An *experiment* object provides the stage-specific callbacks:
+
+    experiment.state                      # current train-state pytree
+    experiment.train_step(step) -> metrics (dict of scalars)
+    experiment.validate(step)             # render + save artifacts
+    experiment.export()                   # predict/export path
+    experiment.state_for_checkpoint() / load_state(state)
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import numpy as np
+
+import dreammesh4d_tpu as ds
+
+from .utils.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint, step_from_path
+
+
+@dataclass
+class TrainerConfig:
+    max_steps: int = 2000
+    log_every_n_steps: int = 10
+    val_check_interval: int = 200
+    checkpoint_every: int = 2000
+    precision: int = 32  # accepted for config parity; dtype set per-module
+
+
+class Trainer:
+    def __init__(self, cfg: TrainerConfig, trial_dir: str):
+        self.cfg = cfg
+        self.trial_dir = trial_dir
+        self.ckpt_dir = os.path.join(trial_dir, "ckpts")
+        self.log_path = os.path.join(trial_dir, "metrics.csv")
+        os.makedirs(trial_dir, exist_ok=True)
+        self._csv_keys = None
+
+    def _log(self, step: int, metrics: dict):
+        row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        new_file = not os.path.exists(self.log_path)
+        if self._csv_keys is None:
+            self._csv_keys = list(row.keys())
+        with open(self.log_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._csv_keys, extrasaction="ignore")
+            if new_file:
+                w.writeheader()
+            w.writerow(row)
+
+    def fit(self, experiment, resume: Optional[str] = None) -> None:
+        start_step = 0
+        if resume:
+            path = resume if resume != "LAST" else latest_checkpoint(self.ckpt_dir)
+            if path:
+                experiment.load_state(restore_checkpoint(path, experiment.state_for_checkpoint()))
+                start_step = step_from_path(path)
+                ds.info("Resumed from %s (step %d)", path, start_step)
+
+        t0 = time.time()
+        window = t0
+        for step in range(start_step, self.cfg.max_steps):
+            metrics = experiment.train_step(step)
+            if step % self.cfg.log_every_n_steps == 0 or step == self.cfg.max_steps - 1:
+                self._log(step, metrics)
+                dt = time.time() - window
+                window = time.time()
+                loss = float(metrics.get("loss_total", 0.0))
+                print(
+                    f"[step {step}/{self.cfg.max_steps}] loss={loss:.4f} "
+                    f"({dt / max(self.cfg.log_every_n_steps, 1):.3f}s/it)",
+                    flush=True,
+                )
+            if self.cfg.val_check_interval > 0 and (step + 1) % self.cfg.val_check_interval == 0:
+                experiment.validate(step + 1)
+            if (step + 1) % self.cfg.checkpoint_every == 0 or step == self.cfg.max_steps - 1:
+                save_checkpoint(self.ckpt_dir, step + 1, experiment.state_for_checkpoint())
+        total = time.time() - t0
+        with open(os.path.join(self.trial_dir, "train_summary.json"), "w") as f:
+            json.dump({"steps": self.cfg.max_steps, "wall_s": total}, f)
+        print(f"Training finished in {total:.1f}s", flush=True)
+
+    def validate(self, experiment) -> None:
+        experiment.validate(step_hint := getattr(experiment, "global_step", 0))
+
+    def test(self, experiment) -> None:
+        experiment.validate(self.cfg.max_steps, test=True)
+
+    def predict(self, experiment) -> None:
+        experiment.export()
