@@ -76,10 +76,16 @@ def rasterize(
     scales: Optional[jnp.ndarray] = None,
     quats: Optional[jnp.ndarray] = None,
     cov3d: Optional[jnp.ndarray] = None,
+    means2d_offset: Optional[jnp.ndarray] = None,
 ) -> RasterizeOutput:
     """Render one view.  Pass either (scales, quats) or a precomputed cov3d,
     and either per-Gaussian colors or SH coefficients (evaluated per-Gaussian
-    toward the camera, like the CUDA rasterizer)."""
+    toward the camera, like the CUDA rasterizer).
+
+    ``means2d_offset`` (N,2): an all-zeros tensor added to the projected
+    screen positions — take grads w.r.t. it to obtain the screen-space
+    positional gradients that drive densification (the reference's
+    ``screenspace_points`` trick, diff_sugar_rasterizer_normal.py:101-111)."""
     if cov3d is None:
         assert scales is not None and quats is not None
         cov3d = compute_cov3d(scales, quats)
@@ -93,6 +99,8 @@ def rasterize(
         means3d, cov3d, camera.world_view_transform, camera.full_proj_transform,
         cfg.tan_fovx, cfg.tan_fovy, cfg.width, cfg.height, cfg.near,
     )
+    if means2d_offset is not None:
+        proj = proj._replace(means2d=proj.means2d + means2d_offset)
     return _rasterize_projected(proj, colors, opacities, cfg, background)
 
 

@@ -497,14 +497,15 @@ class Zero123Experiment:
         return metrics
 
     def validate(self, step: int, test: bool = False) -> None:
-        orbit = self.data.random_sampler.orbit(n_views=4, height=128, width=128)
         import math as _math
 
         from ..ops.cameras import get_ray_directions, get_rays
 
+        R = min(int(self.data.cfg.random_camera.eval_height), 128)
+        orbit = self.data.random_sampler.orbit(n_views=4, height=R, width=R)
         frames = []
         fovy = _math.radians(self.data.cfg.default_fovy_deg)
-        dirs = get_ray_directions(128, 128, 0.5 * 128 / _math.tan(0.5 * fovy))
+        dirs = get_ray_directions(R, R, 0.5 * R / _math.tan(0.5 * fovy))
         for i in range(4):
             ro, rd = get_rays(dirs, orbit["c2w"][i], keepdim=True)
             out = self._image_renderer(
