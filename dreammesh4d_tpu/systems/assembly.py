@@ -362,22 +362,52 @@ class Sugar4DGenExperiment:
                 break  # one azimuth during training validation
 
     def export(self) -> None:
-        """32 per-timestamp OBJ meshes (vertex-colored; UV texture baking in
-        export/texture_bake.py, parity target sugar_4dgen.py:594-637)."""
+        """Per-timestamp textured OBJ meshes sharing ONE baked texture
+        (sugar_4dgen.py:594-637): bake from the predict orbit at the first
+        timestamp, then save every frame's deformed mesh with the same UVs."""
+        from ..data.temporal_image import frame_timestamps
+        from ..export.texture_bake import bake_texture, export_textured_mesh
         from ..models.geometry.dynamic_sugar import timed_all
-        from ..ops.sh import sh_dc_to_rgb
+        from ..models.geometry.sugar import gaussian_attributes
+        from ..ops.gs import rasterize
 
         L = self.data.video_length
-        from ..data.temporal_image import frame_timestamps
-
         ts = jnp.asarray(frame_timestamps(L))
         deform_cfg = self.dyn_cfg.deformation
-        _, vert = timed_all(self.sugar_params, self.state.deform_params,
-                            deform_cfg, self.static, ts)
+        gs, vert = timed_all(self.sugar_params, self.state.deform_params,
+                             deform_cfg, self.static, ts)
         faces = np.asarray(self.static.sugar.faces)
+
+        # bake: render timed gaussians (t=first frame) from the predict orbit
+        pred = self.data.predict_batch()
+        bake_hw = min(int(pred["height"]), 512)
+        import math as _math
+
+        t_tan = _math.tan(_math.radians(self.data.cfg.default_fovy_deg) / 2)
+        bake_cfg = self.raster_cfg._replace(width=bake_hw, height=bake_hw,
+                                            tan_fovx=t_tan, tan_fovy=t_tan)
+        attrs0 = gaussian_attributes(self.sugar_params, self.static.sugar)
+        means0, quats0, scales0 = gs.means3d[0], gs.quats[0], gs.scales[0]
+
+        def render_rgb(cam):
+            return rasterize(
+                means0, attrs0.opacities, cam, bake_cfg, jnp.ones(3),
+                sh=attrs0.sh, sh_degree=self.static.sugar.sh_degree,
+                scales=scales0, quats=quats0,
+            ).rgb
+
+        cams = pred["cameras"]
+        tex_size = int(self.cfg.system.get("exporter", {}).get("texture_size", 1024))
+        texture, v_tex, t_tex = bake_texture(
+            vert.xyz[0], self.static.sugar.faces, cams.world_view, cams.full_proj,
+            cams.camera_center, render_rgb, bake_hw, bake_hw, tex_size=tex_size,
+        )
         for i in range(L):
-            mesh = MeshData(v_pos=np.asarray(vert.xyz[i]), t_pos_idx=faces)
-            save_obj(self.saver.path(f"4d_export/frame_{i:03d}.obj"), mesh)
+            export_textured_mesh(
+                self.saver.path(f"4d_export/frame_{i:03d}.obj"),
+                np.asarray(vert.xyz[i]), faces, texture, v_tex, t_tex,
+                mtl_name="material0",
+            )
 
     def state_for_checkpoint(self):
         return self.state
