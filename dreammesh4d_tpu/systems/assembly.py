@@ -165,10 +165,13 @@ class SugarStaticExperiment:
                     batch["camera_distances"], None, batch.get("step", 0),
                 )["loss_sds"]
 
+        ref_raster_cfg = build_raster_config(
+            d.height, d.width, d.default_fovy_deg, system
+        )
         invert_bg_prob = float(system.get("renderer", {}).get("invert_bg_prob", 1.0))
         self._train_step = make_train_step(
             self.static, self.raster_cfg, optimizer, loss_cfg, guidance_fn,
-            invert_bg_prob=invert_bg_prob,
+            invert_bg_prob=invert_bg_prob, ref_raster_cfg=ref_raster_cfg,
         )
         self._render_eval = make_render_eval(self.static, self.raster_cfg)
         self.state = init_state(params, optimizer)
@@ -325,11 +328,13 @@ class Sugar4DGenExperiment:
         self.length_inter_frames = float(system.get("length_inter_frames", 0.2))
 
         deform_params = init_deformation(deform_cfg, jax.random.PRNGKey(cfg.seed))
+        ref_raster_cfg = build_raster_config(d.height, d.width, d.default_fovy_deg, system)
         self._train_step = make_dynamic_train_step(
             sugar_params, self.static, deform_cfg, self.raster_cfg, optimizer,
             loss_cfg, jnp.asarray(arap_w), guidance_fn,
             invert_bg_prob=float(system.get("renderer", {}).get("invert_bg_prob", 1.0)),
             arap_start_step=int(freq.get("milestone_arap_reg", 0)),
+            ref_raster_cfg=ref_raster_cfg,
         )
         self._render_eval = make_dynamic_render_eval(
             sugar_params, self.static, deform_cfg, self.raster_cfg

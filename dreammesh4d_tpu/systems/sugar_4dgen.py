@@ -95,6 +95,7 @@ def make_dynamic_train_step(
     bg_color=(1.0, 1.0, 1.0),
     invert_bg_prob: float = 1.0,
     arap_start_step: int = 0,
+    ref_raster_cfg: Optional[RasterizerConfig] = None,
 ):
     """Build the jitted dynamic train step.  ``batch`` layout:
 
@@ -112,13 +113,15 @@ def make_dynamic_train_step(
     rest_points = sugar_params.points
     ring = (sg.ring_idx, sg.ring_mask)
 
-    def _timed_render(deform_params, cameras, timestamps, bg):
+    ref_cfg = ref_raster_cfg or raster_cfg
+
+    def _timed_render(deform_params, cameras, timestamps, bg, cfg=None):
         gs, vert = timed_all(sugar_params, deform_params, deform_cfg, static, timestamps)
         fnorm = face_normals(vert.xyz, sg.faces)  # (T, F, 3)
         gs_normals = jnp.repeat(fnorm, G, axis=-2)
         out = render_batch(
             attrs0.means3d, attrs0.quats, attrs0.scales, attrs0.opacities,
-            attrs0.sh, sg.sh_degree, None, cameras, bg, raster_cfg,
+            attrs0.sh, sg.sh_degree, None, cameras, bg, cfg or raster_cfg,
             timed_attrs=(gs.means3d, gs.quats, gs.scales, gs_normals),
         )
         return out, gs, vert
@@ -150,7 +153,8 @@ def make_dynamic_train_step(
         terms["depth_tv"] = tv_loss(rand_out["comp_depth"])
 
         # --- ref substep (video frames) --------------------------------------
-        ref_out, _, vert = _timed_render(deform_params, batch["ref_cameras"], ts, bg_base)
+        ref_out, _, vert = _timed_render(deform_params, batch["ref_cameras"], ts,
+                                         bg_base, ref_cfg)
         gt_mask = batch["ref_mask"]
         gt_rgb = batch["ref_rgb"] * gt_mask
         terms["rgb"] = ((gt_rgb - ref_out["comp_rgb"] * gt_mask) ** 2).mean()

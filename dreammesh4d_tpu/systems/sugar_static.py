@@ -78,6 +78,7 @@ def make_train_step(
     guidance_fn: Optional[GuidanceFn] = None,
     bg_color=(1.0, 1.0, 1.0),
     invert_bg_prob: float = 1.0,
+    ref_raster_cfg: Optional[RasterizerConfig] = None,
 ):
     """Build the jitted train step.  ``batch`` layout:
 
@@ -88,6 +89,7 @@ def make_train_step(
     """
     bg_base = jnp.asarray(bg_color, jnp.float32)
     G = static.n_per_face
+    ref_cfg = ref_raster_cfg or raster_cfg
 
     def loss_fn(params: SuGaRParams, batch, rng, step):
         attrs = gaussian_attributes(params, static)
@@ -103,7 +105,7 @@ def make_train_step(
         # --- ref substep (white-composited gt) --------------------------------
         ref_out = render_batch(
             attrs.means3d, attrs.quats, attrs.scales, attrs.opacities, attrs.sh,
-            static.sh_degree, gs_normals, batch["ref_cameras"], bg_base, raster_cfg,
+            static.sh_degree, gs_normals, batch["ref_cameras"], bg_base, ref_cfg,
         )
         gt_mask = batch["ref_mask"]
         gt_rgb = batch["ref_rgb"] * gt_mask
