@@ -40,7 +40,8 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+        groups = min(32, x.shape[-1])  # tiny test configs have <32 channels
+        x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32)(x.astype(jnp.float32))
         return x.astype(orig)
 

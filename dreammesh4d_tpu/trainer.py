@@ -38,6 +38,11 @@ class TrainerConfig:
     val_check_interval: int = 200
     checkpoint_every: int = 2000
     precision: int = 32  # accepted for config parity; dtype set per-module
+    # profiling (SURVEY §5: designed-in replacement for the reference's
+    # commented-out timing probes): capture a jax.profiler trace over
+    # [profile_start_step, profile_start_step + profile_steps)
+    profile_start_step: int = -1
+    profile_steps: int = 5
 
 
 class Trainer:
@@ -72,7 +77,17 @@ class Trainer:
         t0 = time.time()
         window = t0
         for step in range(start_step, self.cfg.max_steps):
+            if step == self.cfg.profile_start_step:
+                import jax
+
+                jax.profiler.start_trace(os.path.join(self.trial_dir, "profile"))
             metrics = experiment.train_step(step)
+            if (self.cfg.profile_start_step >= 0
+                    and step == self.cfg.profile_start_step + self.cfg.profile_steps):
+                import jax
+
+                jax.profiler.stop_trace()
+                ds.info("Profiler trace saved to %s/profile", self.trial_dir)
             if step % self.cfg.log_every_n_steps == 0 or step == self.cfg.max_steps - 1:
                 self._log(step, metrics)
                 dt = time.time() - window
