@@ -68,6 +68,7 @@ def _import_builtin_modules():
     from .models import guidance as _guidance  # noqa: F401
     from .models import exporters as _exporters  # noqa: F401
     from .models import prompt_processors as _pp  # noqa: F401
+    from .models import registry_names as _names  # noqa: F401
     from . import systems as _systems  # noqa: F401
 
 

@@ -231,6 +231,74 @@ class StableZero123Guidance:
         }
 
 
+    def guidance_eval(
+        self,
+        params: Dict[str, Any],
+        bank: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+        rgb: jnp.ndarray,
+        elevation: jnp.ndarray,
+        azimuth: jnp.ndarray,
+        camera_distances: jnp.ndarray,
+        frame_indices: Optional[jnp.ndarray] = None,
+        t_frac: float = 0.3,
+        n_denoise_steps: int = 25,
+    ) -> Dict[str, jnp.ndarray]:
+        """Visual SDS diagnostics (reference guidance_eval,
+        threestudio/systems/base.py:344-402 + zero123 guidance): returns the
+        noised render, the 1-step x0 prediction, and a full DDIM denoise from
+        t — decoded to images."""
+        from .scheduler import ddim_step
+
+        cfg = self.cfg
+        mod = self.modules
+        sched = mod.schedule
+        B = rgb.shape[0]
+        f_idx = jnp.zeros((B,), jnp.int32) if frame_indices is None else frame_indices
+
+        latents = mod.encode_images(params, rgb)
+        T_cam = camera_delta_T(elevation, azimuth, camera_distances,
+                               cfg.cond_elevation_deg, cfg.cond_azimuth_deg)
+        cc_in = jnp.concatenate([bank["c_crossattn"][f_idx], T_cam], -1)
+        cc = (cc_in @ params["cc_projection"]["kernel"] + params["cc_projection"]["bias"])[:, None, :]
+        context = jnp.concatenate([jnp.zeros_like(cc), cc], 0)
+        c_concat = bank["c_concat"][f_idx]
+        c_concat_in = jnp.concatenate([jnp.zeros_like(c_concat), c_concat], 0)
+
+        t0 = int(t_frac * sched.num_train_timesteps)
+        t = jnp.full((B,), t0, jnp.int32)
+        noise = jax.random.normal(rng, latents.shape)
+        x_t = add_noise(sched, latents, noise, t)
+
+        def eps_at(x, t_arr):
+            x_in = jnp.concatenate([jnp.concatenate([x] * 2, 0), c_concat_in], -1)
+            t_in = jnp.concatenate([t_arr] * 2, 0)
+            eps = mod.apply_unet(params, x_in, t_in, context)
+            e_u, e_c = jnp.split(eps, 2, 0)
+            return e_u + cfg.guidance_scale * (e_c - e_u)
+
+        eps0 = eps_at(x_t, t)
+        a_t = sched.alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        x0_1step = (x_t - jnp.sqrt(1 - a_t) * eps0) / jnp.sqrt(a_t)
+
+        # full DDIM denoise over an even timestep ladder below t0
+        ts = jnp.linspace(t0, 0, n_denoise_steps + 1).astype(jnp.int32)
+
+        def body(x, i):
+            t_cur = jnp.full((B,), ts[i], jnp.int32)
+            t_prev = jnp.full((B,), ts[i + 1], jnp.int32)
+            eps = eps_at(x, t_cur)
+            return ddim_step(sched, x, eps, t_cur,
+                             jnp.where(t_prev == 0, -1, t_prev)), None
+
+        x_final, _ = jax.lax.scan(body, x_t, jnp.arange(n_denoise_steps))
+        return {
+            "img_noisy": mod.decode_latents(params, x_t),
+            "img_1step": mod.decode_latents(params, x0_1step),
+            "img_final": mod.decode_latents(params, x_final),
+        }
+
+
 @ds.register("stable-zero123-guidance")
 class StableZero123GuidanceComponent(StableZero123Guidance):
     pass

@@ -88,12 +88,15 @@ def bin_gaussians(
     keys = ((tile_ids_sorted << rank_bits) | rank).reshape(-1)
 
     sorted_keys = jax.lax.sort(keys)
-    sorted_tiles = sorted_keys >> rank_bits
     sorted_gauss = depth_order[sorted_keys & ((1 << rank_bits) - 1)]
 
-    starts = jnp.searchsorted(sorted_tiles, jnp.arange(T, dtype=jnp.int32), side="left")
-    ends = jnp.searchsorted(sorted_tiles, jnp.arange(T, dtype=jnp.int32), side="right")
-    counts = (ends - starts).astype(jnp.int32)
+    # per-tile segment bounds via binary search on the PACKED keys directly
+    # (tile boundaries are the keys (t << rank_bits)); a histogram
+    # scatter-add is slower here — 900 average collisions per bin.
+    tile_bounds = (jnp.arange(T + 1, dtype=jnp.int32) << rank_bits)
+    bounds = jnp.searchsorted(sorted_keys, tile_bounds, side="left")
+    starts = bounds[:T]
+    counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
 
     k = jnp.arange(tile_capacity, dtype=jnp.int32)[None, :]  # (1, K)
     idx = starts[:, None] + k  # (T, K)

@@ -37,11 +37,18 @@ def setup(W=64):
 def test_registry_find():
     import dreammesh4d_tpu as ds
 
-    assert ds.find("sugar-static-system") is not None
-    assert ds.find("solid-color-background") is not None
-    assert ds.find("no-material") is not None
-    assert ds.find("random-camera-datamodule") is not None
-    assert ds.find("single-image-datamodule") is not None
+    # framework components + the reference lookup names (registry_names.py)
+    for name in [
+        "sugar-static-system", "sugar-4dgen-system", "zero123-system",
+        "solid-color-background", "no-material", "diffuse-with-point-light-material",
+        "random-camera-datamodule", "single-image-datamodule",
+        "temporal-image-datamodule", "dummy-prompt-processor",
+        "stable-zero123-guidance", "temporal-stable-zero123-guidance",
+        "sugar", "dynamic-sugar", "gaussian-splatting", "implicit-volume",
+        "diff-sugar-rasterizer-normal", "diff-sugar-rasterizer-temporal",
+        "nerf-volume-renderer", "mesh-exporter", "gaussian-mesh-exporter",
+    ]:
+        assert ds.find(name) is not None, name
 
 
 def test_train_step_fits_reference_views():

@@ -150,3 +150,19 @@ def test_min_max_step_schedule(tiny_guidance):
     assert float(out0["max_step"]) == pytest.approx(980.0, abs=0.1)
     assert float(out1["max_step"]) == pytest.approx(500.0, abs=0.1)
     assert float(out1["min_step"]) == pytest.approx(20.0, abs=0.1)
+
+
+def test_guidance_eval_outputs(tiny_guidance):
+    g, params = tiny_guidance
+    ref = jax.random.uniform(jax.random.PRNGKey(20), (1, 32, 32, 3))
+    bank = g.prepare_embeddings(params, ref)
+    out = g.guidance_eval(
+        params, bank, jax.random.PRNGKey(21), ref,
+        jnp.asarray([10.0]), jnp.asarray([0.0]), jnp.asarray([1.2]),
+        n_denoise_steps=4,
+    )
+    for k in ("img_noisy", "img_1step", "img_final"):
+        assert out[k].shape == (1, 32, 32, 3)
+        arr = np.asarray(out[k])
+        assert np.isfinite(arr).all()
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
