@@ -17,6 +17,60 @@ import jax.numpy as jnp
 import dreammesh4d_tpu as ds
 
 
+@ds.register("neural-environment-map-background")
+@ds.register("gaussian-mvdream-neural-environment-map-background")
+@dataclass
+class NeuralEnvironmentMapBackground:
+    """Direction-conditioned MLP background (threestudio/models/background/
+    neural_environment_map_background.py + the plugin variant,
+    custom/.../background/gaussian_mvdream_background.py:14-72): frequency-
+    encoded view directions -> tiny MLP -> rgb, optional random-color
+    substitution during training."""
+
+    n_output_dims: int = 3
+    color_activation: str = "sigmoid"
+    n_frequencies: int = 6
+    n_neurons: int = 16
+    n_hidden_layers: int = 2
+    random_aug: bool = False
+    random_aug_prob: float = 0.5
+
+    def init_params(self, rng: jax.Array) -> dict:
+        from ..ops.hashgrid import frequency_encode
+
+        in_dim = 3 * 2 * self.n_frequencies
+        dims = [in_dim] + [self.n_neurons] * self.n_hidden_layers + [self.n_output_dims]
+        keys = jax.random.split(rng, len(dims) - 1)
+        layers = []
+        for k, (a, b) in zip(keys, zip(dims[:-1], dims[1:])):
+            lim = (6.0 / (a + b)) ** 0.5
+            layers.append({
+                "w": jax.random.uniform(k, (a, b), jnp.float32, -lim, lim),
+                "b": jnp.zeros((b,), jnp.float32),
+            })
+        return {"layers": layers}
+
+    def __call__(self, params: dict, dirs: jnp.ndarray,
+                 rng: Optional[jax.Array] = None, training: bool = False) -> jnp.ndarray:
+        from ..ops.hashgrid import frequency_encode
+        from ..utils.misc import get_activation
+
+        x = frequency_encode(dirs, self.n_frequencies)
+        for i, layer in enumerate(params["layers"]):
+            x = x @ layer["w"] + layer["b"]
+            if i < len(params["layers"]) - 1:
+                x = jax.nn.relu(x)
+        color = get_activation(self.color_activation)(x)
+        if training and self.random_aug and rng is not None:
+            k1, k2 = jax.random.split(rng)
+            rand_color = jnp.broadcast_to(
+                jax.random.uniform(k1, (self.n_output_dims,)), color.shape
+            )
+            use_rand = jax.random.uniform(k2) < self.random_aug_prob
+            color = jnp.where(use_rand, rand_color, color)
+        return color
+
+
 @ds.register("solid-color-background")
 @dataclass
 class SolidColorBackground:

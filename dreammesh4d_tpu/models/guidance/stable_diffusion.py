@@ -1,0 +1,243 @@
+"""Stable Diffusion SDS guidance (text-conditioned) + prompt processing.
+
+Framework-surface port of the threestudio guidance zoo's SD members
+(threestudio/models/guidance/stable_diffusion_guidance.py:1-637 and the
+prompt-processor stack, threestudio/models/prompt_processors/base.py:345-420):
+
+- the UNet is the same flax ``UNetModel`` as Zero123 with in_channels=4 and
+  text cross-attention context (ctx 768 = CLIP ViT-L text);
+- prompt processing: CLIP text encoder (transformers FlaxCLIPTextModel,
+  offline from-config; weights via checkpoint conversion).  View-dependent
+  prompting (front/side/back/overhead by azimuth/elevation) follows
+  prompt_processors/base.py;
+- without the tokenizer vocab on disk (zero-egress image), prompts fall back
+  to a deterministic hash embedding so pipelines stay runnable end-to-end;
+  real deployments load cached embeddings (the reference likewise caches text
+  embeddings to disk and ships them between processes).
+- SDS: t ~ U[min,max], CFG pair, w(t)=1-ᾱ_t, reparameterized MSE — shared
+  math with the Zero123 implementation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import dreammesh4d_tpu as ds
+
+from ...utils.schedule import C_jax
+from .zero123.scheduler import add_noise, make_schedule
+from .zero123.unet import UNetModel
+from .zero123.vae import AutoencoderKL
+
+LATENT_SCALE = 0.18215
+
+
+# ---------------------------------------------------------------------------
+# Prompt processing
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PromptProcessorConfig:
+    prompt: str = "a high quality photo"
+    negative_prompt: str = ""
+    pretrained_model_name_or_path: str = ""
+    use_view_dependent_prompting: bool = True
+    overhead_threshold: float = 60.0
+    front_threshold: float = 45.0
+    back_threshold: float = 45.0
+    context_dim: int = 768
+    seq_len: int = 77
+    embeddings_path: str = ""  # optional .npz with precomputed embeddings
+
+
+class PromptEmbeddings:
+    """text_embeddings (V, L, C) for [base, front, side, back, overhead] +
+    uncond (L, C); ``get(elevation, azimuth)`` picks per-view rows
+    (prompt_processors/base.py view-dependent logic)."""
+
+    def __init__(self, cond: jnp.ndarray, uncond: jnp.ndarray, cfg: PromptProcessorConfig):
+        self.cond = cond  # (5, L, C)
+        self.uncond = uncond  # (L, C)
+        self.cfg = cfg
+
+    def get(self, elevation: jnp.ndarray, azimuth: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B = elevation.shape[0]
+        if not self.cfg.use_view_dependent_prompting:
+            idx = jnp.zeros((B,), jnp.int32)
+        else:
+            az = (azimuth + 180.0) % 360.0 - 180.0
+            idx = jnp.where(jnp.abs(az) < self.cfg.front_threshold, 1,
+                  jnp.where(jnp.abs(az) > 180.0 - self.cfg.back_threshold, 3, 2))
+            idx = jnp.where(elevation > self.cfg.overhead_threshold, 4, idx)
+        cond = self.cond[idx]  # (B, L, C)
+        uncond = jnp.broadcast_to(self.uncond, cond.shape)
+        return cond, uncond
+
+
+def _hash_embedding(text: str, seq_len: int, dim: int) -> np.ndarray:
+    seed = int.from_bytes(hashlib.sha256(text.encode()).digest()[:4], "little")
+    rng = np.random.RandomState(seed)
+    return rng.randn(seq_len, dim).astype(np.float32) * 0.02
+
+
+@ds.register("stable-diffusion-prompt-processor")
+@ds.register("deep-floyd-prompt-processor")
+class StableDiffusionPromptProcessor:
+    def __init__(self, cfg: PromptProcessorConfig | dict | None = None, text_params=None):
+        if isinstance(cfg, dict):
+            import dataclasses
+
+            names = {f.name for f in dataclasses.fields(PromptProcessorConfig)}
+            cfg = PromptProcessorConfig(**{k: v for k, v in cfg.items() if k in names})
+        self.cfg = cfg or PromptProcessorConfig()
+        self.text_params = text_params
+
+    def _embed(self, text: str) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.embeddings_path:
+            data = np.load(cfg.embeddings_path)
+            if text in data:
+                return np.asarray(data[text], np.float32)
+        # tokenizer-free fallback (zero-egress image): deterministic hash
+        return _hash_embedding(text, cfg.seq_len, cfg.context_dim)
+
+    def __call__(self) -> PromptEmbeddings:
+        cfg = self.cfg
+        views = [
+            cfg.prompt,
+            f"{cfg.prompt}, front view",
+            f"{cfg.prompt}, side view",
+            f"{cfg.prompt}, back view",
+            f"{cfg.prompt}, overhead view",
+        ]
+        cond = jnp.asarray(np.stack([self._embed(v) for v in views]))
+        uncond = jnp.asarray(self._embed(cfg.negative_prompt))
+        return PromptEmbeddings(cond, uncond, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Guidance
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class StableDiffusionConfig:
+    pretrained_model_name_or_path: str = ""
+    guidance_scale: float = 100.0
+    grad_clip: Optional[float] = None
+    min_step_percent: Any = 0.02
+    max_step_percent: Any = 0.98
+    weighting_strategy: str = "sds"  # sds | uniform | fantasia3d
+    num_train_timesteps: int = 1000
+    model_channels: int = 320
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    num_heads: int = 8
+    context_dim: int = 768
+    latent_size: int = 64
+    image_size: int = 512
+    dtype: Any = jnp.float32
+
+
+@ds.register("stable-diffusion-guidance")
+class StableDiffusionGuidance:
+    def __init__(self, cfg: StableDiffusionConfig | dict | None = None):
+        if isinstance(cfg, dict):
+            import dataclasses
+
+            names = {f.name for f in dataclasses.fields(StableDiffusionConfig)}
+            cfg = StableDiffusionConfig(**{k: v for k, v in cfg.items() if k in names})
+        self.cfg = cfg or StableDiffusionConfig()
+        c = self.cfg
+        self.unet = UNetModel(
+            in_channels=4, out_channels=4, model_channels=c.model_channels,
+            channel_mult=c.channel_mult, num_res_blocks=c.num_res_blocks,
+            num_heads=c.num_heads, dtype=c.dtype,
+        )
+        self.vae = AutoencoderKL(embed_dim=4, dtype=c.dtype)
+        self.schedule = make_schedule(c.num_train_timesteps)
+
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        c = self.cfg
+        k1, k2 = jax.random.split(rng)
+        L, S = c.latent_size, c.image_size
+        return {
+            "unet": self.unet.init(
+                k1, jnp.zeros((1, L, L, 4)), jnp.zeros((1,)),
+                jnp.zeros((1, 77, c.context_dim)),
+            )["params"],
+            "vae": self.vae.init(k2, jnp.zeros((1, S, S, 3)))["params"],
+        }
+
+    def encode_images(self, params, rgb: jnp.ndarray) -> jnp.ndarray:
+        S = self.cfg.image_size
+        B = rgb.shape[0]
+        img = jax.image.resize(rgb, (B, S, S, 3), "bilinear") * 2.0 - 1.0
+        mean, _ = self.vae.apply({"params": params["vae"]}, img,
+                                 method=AutoencoderKL.encode_moments)
+        return mean * LATENT_SCALE
+
+    def _weight(self, t: jnp.ndarray) -> jnp.ndarray:
+        acp = self.schedule.alphas_cumprod[t]
+        if self.cfg.weighting_strategy == "sds":
+            return (1.0 - acp).reshape(-1, 1, 1, 1)
+        if self.cfg.weighting_strategy == "uniform":
+            return jnp.ones_like(acp).reshape(-1, 1, 1, 1)
+        if self.cfg.weighting_strategy == "fantasia3d":
+            return (jnp.sqrt(acp) * (1 - acp)).reshape(-1, 1, 1, 1)
+        raise ValueError(self.cfg.weighting_strategy)
+
+    def sds_loss(
+        self,
+        params: Dict[str, Any],
+        prompts: PromptEmbeddings,
+        rng: jax.Array,
+        rgb: jnp.ndarray,
+        elevation: jnp.ndarray,
+        azimuth: jnp.ndarray,
+        camera_distances: jnp.ndarray,
+        step: jnp.ndarray,
+        rgb_as_latents: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        sched = self.schedule
+        B = rgb.shape[0]
+        if rgb_as_latents:
+            L = cfg.latent_size
+            latents = jax.image.resize(rgb, (B, L, L, rgb.shape[-1]), "bilinear") * 2 - 1
+        else:
+            latents = self.encode_images(params, rgb)
+
+        cond, uncond = prompts.get(elevation, azimuth)
+        context = jnp.concatenate([uncond, cond], 0)  # (2B, 77, C)
+
+        min_p = C_jax(cfg.min_step_percent, step)
+        max_p = C_jax(cfg.max_step_percent, step)
+        k_t, k_n = jax.random.split(rng)
+        u = jax.random.uniform(k_t, (B,))
+        t = (min_p * sched.num_train_timesteps
+             + u * (max_p - min_p) * sched.num_train_timesteps).astype(jnp.int32)
+        t = jnp.clip(t, 1, sched.num_train_timesteps - 1)
+
+        noise = jax.random.normal(k_n, latents.shape)
+        latents_noisy = add_noise(sched, jax.lax.stop_gradient(latents), noise, t)
+        x_in = jnp.concatenate([latents_noisy] * 2, 0)
+        t_in = jnp.concatenate([t] * 2, 0)
+        eps = self.unet.apply({"params": params["unet"]}, x_in, t_in, context)
+        eps_uncond, eps_cond = jnp.split(eps, 2, 0)
+        eps = eps_uncond + cfg.guidance_scale * (eps_cond - eps_uncond)
+
+        grad = self._weight(t) * (eps - noise)
+        grad = jnp.nan_to_num(grad)
+        if cfg.grad_clip is not None:
+            grad = jnp.clip(grad, -cfg.grad_clip, cfg.grad_clip)
+        target = jax.lax.stop_gradient(latents - grad)
+        loss_sds = 0.5 * ((latents - target) ** 2).sum() / B
+        return {"loss_sds": loss_sds, "grad_norm": jnp.linalg.norm(grad)}

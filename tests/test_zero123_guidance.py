@@ -166,3 +166,71 @@ def test_guidance_eval_outputs(tiny_guidance):
         arr = np.asarray(out[k])
         assert np.isfinite(arr).all()
         assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_stable_diffusion_guidance_tiny():
+    from dreammesh4d_tpu.models.guidance.stable_diffusion import (
+        PromptProcessorConfig,
+        StableDiffusionConfig,
+        StableDiffusionGuidance,
+        StableDiffusionPromptProcessor,
+    )
+
+    cfg = StableDiffusionConfig(
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=1, num_heads=4,
+        context_dim=64, latent_size=8, image_size=32, guidance_scale=7.5,
+    )
+    g = StableDiffusionGuidance(cfg)
+    params = g.init_params(jax.random.PRNGKey(0))
+    pp = StableDiffusionPromptProcessor(
+        PromptProcessorConfig(prompt="a chair", context_dim=64, seq_len=16)
+    )
+    prompts = pp()
+    assert prompts.cond.shape == (5, 16, 64)
+    # view-dependent selection
+    cond, uncond = prompts.get(jnp.asarray([0.0, 0.0, 70.0]),
+                               jnp.asarray([0.0, 180.0, 0.0]))
+    assert cond.shape == (3, 16, 64)
+    # front/back/overhead rows differ
+    assert float(jnp.abs(cond[0] - cond[1]).max()) > 0
+    assert float(jnp.abs(cond[0] - cond[2]).max()) > 0
+
+    def loss(rgb):
+        return g.sds_loss(params, prompts, jax.random.PRNGKey(1), rgb,
+                          jnp.asarray([10.0]), jnp.asarray([30.0]),
+                          jnp.asarray([1.5]), jnp.asarray(100))["loss_sds"]
+
+    rgb = jax.random.uniform(jax.random.PRNGKey(2), (1, 40, 40, 3))
+    val, grad = jax.value_and_grad(loss)(rgb)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+    assert float(jnp.abs(grad).max()) > 0
+
+
+def test_neural_env_background():
+    from dreammesh4d_tpu.models.background import NeuralEnvironmentMapBackground
+
+    bg = NeuralEnvironmentMapBackground(n_neurons=8, n_hidden_layers=1)
+    params = bg.init_params(jax.random.PRNGKey(0))
+    dirs = jax.random.normal(jax.random.PRNGKey(1), (10, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    out = bg(params, dirs)
+    assert out.shape == (10, 3)
+    assert float(out.min()) >= 0 and float(out.max()) <= 1
+    # direction-dependent
+    assert float(jnp.abs(out[0] - out[5]).max()) > 1e-5
+
+
+def test_misc_utils():
+    from dreammesh4d_tpu.utils.misc import chunk_batch, get_activation, get_rank
+
+    assert get_rank() >= 0
+    f = get_activation("scale_-11.0")
+    np.testing.assert_allclose(float(f(jnp.asarray(2.0))), -22.0)
+    np.testing.assert_allclose(float(get_activation("trunc_exp")(jnp.asarray(100.0))), np.exp(15.0), rtol=1e-6)
+
+    def fn(x):
+        return {"y": x * 2}
+
+    out = chunk_batch(fn, 3, jnp.arange(10.0))
+    np.testing.assert_allclose(np.asarray(out["y"]), np.arange(10.0) * 2)
