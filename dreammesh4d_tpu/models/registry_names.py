@@ -28,8 +28,13 @@ def register_reference_names() -> None:
     from ..export import isosurface as _iso
     from ..export import texture_bake as _tb
 
+    from ..models.geometry import implicit_sdf as _isdf
+    from ..models.renderers import neus_volume_renderer as _neus
+
     # geometries (reference custom/.../geometry + threestudio/models/geometry)
     _bind("sugar", _sugar)
+    _bind("implicit-sdf", _isdf)
+    _bind("neus-volume-renderer", _neus)
     _bind("dynamic-sugar", _dyn)
     _bind("gaussian-splatting", _gaussian)
     _bind("implicit-volume", _iv)
