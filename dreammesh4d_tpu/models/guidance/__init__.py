@@ -1,3 +1,3 @@
-"""Diffusion guidance (Zero123 SDS)."""
+"""Diffusion guidance (Zero123 SDS, Stable Diffusion SDS)."""
 
-from . import zero123  # noqa: F401
+from . import stable_diffusion, zero123  # noqa: F401
