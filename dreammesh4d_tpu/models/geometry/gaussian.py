@@ -176,7 +176,7 @@ def densify_and_prune(
     info) — mu/nu are the (optionally provided) Adam moment pytrees with
     rewritten slots zeroed."""
     C = cfg.capacity
-    K = cfg.max_new_per_step
+    K = min(cfg.max_new_per_step, C)
     grad_avg = stats.grad_accum / jnp.maximum(stats.denom, 1.0)
     scales = jnp.exp(state.log_scales)
     max_scale = scales.max(-1)

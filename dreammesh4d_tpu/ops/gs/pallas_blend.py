@@ -229,14 +229,16 @@ def _bwd_kernel(n_channels: int, counts_ref, tiles_x_ref, data_ref, fwd_out_ref,
 
 
 def _pack_rows(means2d, conics, colors, opacities):
-    """(N,2),(N,3),(N,C),(N,) -> (N+1, ROW) with a zero sentinel row."""
+    """(N,2),(N,3),(N,C),(N,) -> (N+1, ROW) with a zero sentinel row.
+    Single concatenate — .at[].set slice writes cost ~1.6 ms/iter as
+    dynamic-update-slices in the profile."""
     N, C = colors.shape
     assert 5 + C <= OP_COL, "packed row supports up to 9 blended channels"
-    rows = jnp.zeros((N, ROW), jnp.float32)
-    rows = rows.at[:, 0:2].set(means2d)
-    rows = rows.at[:, 2:5].set(conics)
-    rows = rows.at[:, 5:5 + C].set(colors)
-    rows = rows.at[:, OP_COL].set(opacities)
+    pad = jnp.zeros((N, OP_COL - 5 - C), jnp.float32)
+    tail = jnp.zeros((N, ROW - OP_COL - 1), jnp.float32)
+    rows = jnp.concatenate(
+        [means2d, conics, colors, pad, opacities[:, None], tail], axis=1
+    )
     return jnp.concatenate([rows, jnp.zeros((1, ROW), jnp.float32)], 0)
 
 

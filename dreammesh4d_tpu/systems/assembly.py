@@ -103,6 +103,158 @@ def maybe_build_guidance(system_cfg: dict, num_frames: int = 1):
 
 
 # ---------------------------------------------------------------------------
+# gaussian stage of sugar-static (vanilla 3DGS with density control)
+# ---------------------------------------------------------------------------
+
+
+class GaussianStageExperiment:
+    """``system.stage: gaussian`` — vanilla 3DGS + adaptive density control +
+    SuGaR regularization (reference sugar_static.py gaussian stage)."""
+
+    def __init__(self, cfg):
+        from ..models.geometry.gaussian import (
+            GaussianConfig,
+            from_mesh_vertices,
+            init_random_sphere,
+        )
+        from ..systems.gaussian_stage import (
+            GaussianStageLosses,
+            gaussian_optimizer,
+            init_gaussian_train_state,
+            make_gaussian_train_step,
+            make_reg_state,
+        )
+
+        self.cfg = cfg
+        system = cfg.system
+        self.saver = Saver(os.path.join(cfg.trial_dir, "save"))
+        self.data = make_single_image_datamodule(cfg.data, cfg.seed)
+
+        geo = dict(system.get("geometry", {}))
+        self.gcfg = GaussianConfig(
+            capacity=int(geo.get("max_num", 200_000)),
+            init_num=int(geo.get("init_num_pts", 5000)),
+            sh_degree=int(geo.get("sh_degree", 3)),
+            spatial_extent=float(geo.get("spatial_extent", 3.8)),
+            percent_dense=float(geo.get("percent_dense", 0.01)),
+            densify_grad_threshold=float(geo.get("densify_grad_threshold", 0.0002)),
+            min_opacity=float(geo.get("min_opac_prune", 0.005)),
+        )
+        init_path = geo.get("geometry_convert_from") or geo.get("init_from")
+        if init_path and os.path.exists(str(init_path)):
+            mesh = load_mesh(str(init_path))
+            gaussians = from_mesh_vertices(self.gcfg, mesh.v_pos, mesh.v_rgb)
+        else:
+            gaussians = init_random_sphere(self.gcfg, jax.random.PRNGKey(cfg.seed))
+
+        optimizer = gaussian_optimizer(
+            position_lr=geo.get("position_lr", 0.00016),
+            feature_lr=geo.get("feature_lr", 0.0025),
+            opacity_lr=geo.get("opacity_lr", 0.05),
+            scaling_lr=geo.get("scaling_lr", 0.005),
+            rotation_lr=geo.get("rotation_lr", 0.001),
+            spatial_lr_scale=float(geo.get("spatial_lr_scale", 1.0)),
+        )
+        loss_cfg = _filtered_dataclass(GaussianStageLosses, {
+            k: v for k, v in dict(system.get("loss", {})).items()
+            if k in GaussianStageLosses.__dataclass_fields__
+        })
+        d = self.data.cfg
+        self.raster_cfg = build_raster_config(
+            d.random_camera.height, d.random_camera.width, d.default_fovy_deg, system
+        )
+        freq = dict(system.get("freq", {}))
+        self.densify_every = int(freq.get("densify", 100))
+        self.densify_from = int(freq.get("densify_from", 500))
+        self.densify_until = int(freq.get("densify_until", 7000))
+        self.opacity_reset_every = int(freq.get("opacity_reset", 3000))
+        self.reset_neighbors_every = int(freq.get("reset_neighbors", 50))
+
+        guidance_pack = maybe_build_guidance(system)
+        guidance_fn = None
+        if guidance_pack is not None:
+            guidance, gparams = guidance_pack
+            ref = self.data.ref_batch()
+            bank = guidance.prepare_embeddings(gparams, ref["ref_rgb"])
+
+            def guidance_fn(rng, rgb, batch):  # noqa: F811
+                return guidance.sds_loss(
+                    gparams, bank, rng, rgb, batch["elevation"], batch["azimuth"],
+                    batch["camera_distances"], None, 0,
+                )["loss_sds"]
+
+        self._train_step, self._density_step = make_gaussian_train_step(
+            self.gcfg, self.raster_cfg, optimizer, loss_cfg, guidance_fn,
+            invert_bg_prob=float(system.get("renderer", {}).get("invert_bg_prob", 1.0)),
+            sugar_reg_start=int(freq.get("start_sugar_reg", 3000)),
+        )
+        self.state = init_gaussian_train_state(gaussians, optimizer)
+        self._make_reg_state = make_reg_state
+        self.reg_state = make_reg_state(self.state)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+    def train_step(self, step: int) -> Dict[str, float]:
+        batch = self.data.train_batch(step)
+        b = {k: batch[k] for k in ("ref_cameras", "ref_rgb", "ref_mask", "rand_cameras")}
+        self.rng, k = jax.random.split(self.rng)
+        self.state, metrics = self._train_step(self.state, b, self.reg_state, k)
+        if (self.densify_from <= step < self.densify_until
+                and step % self.densify_every == 0 and step > 0):
+            self.rng, k2 = jax.random.split(self.rng)
+            self.state, info = self._density_step(self.state, k2)
+            metrics = dict(metrics)
+            metrics["gauss_num"] = info["n_alive"]
+        if step % self.reset_neighbors_every == 0:
+            self.reg_state = self._make_reg_state(self.state)
+        if self.opacity_reset_every > 0 and step > 0 and step % self.opacity_reset_every == 0:
+            from ..models.geometry.gaussian import reset_opacity
+
+            self.state = self.state._replace(gaussians=reset_opacity(self.state.gaussians))
+        return metrics
+
+    def validate(self, step: int, test: bool = False) -> None:
+        from ..models.geometry.gaussian import renderable
+        from ..models.renderers.sugar_rasterizer import CameraBatch
+        from ..ops.cameras import GSCameraInfo
+        from ..ops.gs import rasterize
+
+        orbit = self.data.random_sampler.orbit(n_views=4)
+        means, quats, scales, opac, sh = renderable(self.state.gaussians)
+        frames = []
+        for i in range(4):
+            cam = GSCameraInfo(orbit["rand_cameras"].world_view[i],
+                               orbit["rand_cameras"].full_proj[i],
+                               orbit["rand_cameras"].camera_center[i])
+            out = rasterize(means, opac, cam, self.raster_cfg, jnp.ones(3), sh=sh,
+                            sh_degree=self.gcfg.sh_degree, scales=scales, quats=quats)
+            frames.append(np.asarray(jnp.clip(out.rgb, 0, 1)))
+        self.saver.save_image_grid(
+            f"it{step}-gaussian.png", [{"type": "rgb", "img": f} for f in frames]
+        )
+
+    def export(self) -> None:
+        from ..export.gaussian_io import save_gaussians_ply
+        from ..models.geometry.gaussian import renderable
+
+        g = self.state.gaussians
+        alive = np.asarray(g.alive)
+        sh = np.concatenate([np.asarray(g.sh_dc), np.asarray(g.sh_rest)], 1)
+        save_gaussians_ply(
+            self.saver.path("gaussians.ply"),
+            np.asarray(g.xyz)[alive], sh[alive],
+            np.asarray(g.opacity_logits)[alive],
+            np.asarray(g.log_scales)[alive], np.asarray(g.quats)[alive],
+        )
+
+    def state_for_checkpoint(self):
+        return self.state
+
+    def load_state(self, state):
+        self.state = state
+        self.reg_state = self._make_reg_state(self.state)
+
+
+# ---------------------------------------------------------------------------
 # sugar-static experiment
 # ---------------------------------------------------------------------------
 
@@ -587,4 +739,11 @@ def build_experiment(cfg):
         raise KeyError(
             f"Unknown system_type {cfg.system_type!r}; known: {sorted(EXPERIMENTS)}"
         )
-    return EXPERIMENTS[cfg.system_type](cfg)
+    cls = EXPERIMENTS[cfg.system_type]
+    # sugar-static dispatches on its stage (reference sugar_static.py:309:
+    # 'gaussian' runs vanilla 3DGS + density control, 'sugar' the bound refine)
+    if cfg.system_type == "sugar-static-system" and str(
+        cfg.system.get("stage", "sugar")
+    ) == "gaussian":
+        cls = GaussianStageExperiment
+    return cls(cfg)
