@@ -132,8 +132,10 @@ class TemporalImageDataModule:
             "frame_indices": jnp.asarray(idx, jnp.int32),
             "timestamps": jnp.asarray(ts_all[idx]),
             "ref_cameras": self._ref_camera(T),
-            "ref_rgb": jnp.asarray(rgbs[idx]),
-            "ref_mask": jnp.asarray(masks[idx]),
+            # numpy (lazy): consumers that keep the whole video device-resident
+            # (sugar_4dgen video_frames) never pay this host->device transfer
+            "ref_rgb": rgbs[idx],
+            "ref_mask": masks[idx],
             "ref_elevation": jnp.full((T,), cfg.default_elevation_deg, jnp.float32),
             "ref_azimuth": jnp.full((T,), cfg.default_azimuth_deg, jnp.float32),
             "ref_distance": jnp.full((T,), cfg.default_camera_distance, jnp.float32),

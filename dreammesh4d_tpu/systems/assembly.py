@@ -481,12 +481,15 @@ class Sugar4DGenExperiment:
 
         deform_params = init_deformation(deform_cfg, jax.random.PRNGKey(cfg.seed))
         ref_raster_cfg = build_raster_config(d.height, d.width, d.default_fovy_deg, system)
+        frames_rgb_np, frames_mask_np = self.data.load_frames()
+        self._video_frames = (jnp.asarray(frames_rgb_np), jnp.asarray(frames_mask_np))
         self._train_step = make_dynamic_train_step(
             sugar_params, self.static, deform_cfg, self.raster_cfg, optimizer,
             loss_cfg, jnp.asarray(arap_w), guidance_fn,
             invert_bg_prob=float(system.get("renderer", {}).get("invert_bg_prob", 1.0)),
             arap_start_step=int(freq.get("milestone_arap_reg", 0)),
             ref_raster_cfg=ref_raster_cfg,
+            video_frames=self._video_frames,
         )
         self._render_eval = make_dynamic_render_eval(
             sugar_params, self.static, deform_cfg, self.raster_cfg
@@ -499,7 +502,9 @@ class Sugar4DGenExperiment:
         batch["inter_timestamps"] = self.data.inter_frame_timestamps(
             self.num_inter_frames, self.length_inter_frames
         )
-        keep = ("timestamps", "frame_indices", "ref_cameras", "ref_rgb", "ref_mask",
+        # frames stay device-resident (gathered by index inside the jit) —
+        # only cameras/timestamps cross the host boundary per step
+        keep = ("timestamps", "frame_indices", "ref_cameras",
                 "rand_cameras", "inter_timestamps")
         batch = {k: batch[k] for k in keep}
         self.rng, k = jax.random.split(self.rng)

@@ -96,6 +96,7 @@ def make_dynamic_train_step(
     invert_bg_prob: float = 1.0,
     arap_start_step: int = 0,
     ref_raster_cfg: Optional[RasterizerConfig] = None,
+    video_frames: Optional[tuple] = None,
 ):
     """Build the jitted dynamic train step.  ``batch`` layout:
 
@@ -104,7 +105,11 @@ def make_dynamic_train_step(
       ``ref_rgb`` (T,H,W,3) video frames, ``ref_mask`` (T,H,W,1)
     - ``rand_cameras`` CameraBatch (T random views, frame-aligned)
     - ``inter_timestamps`` (num_inter,) — densely sampled window (host side)
-    """
+
+    ``video_frames=(rgb (L,H,W,3), mask (L,H,W,1))`` keeps the WHOLE video
+    device-resident: the step then gathers gt frames by ``frame_indices``
+    inside the jit and batches may omit ref_rgb/ref_mask — avoids re-uploading
+    ~16MB of frames every step (dominates wall-clock on slow host links)."""
     sugar_params = jax.tree.map(jax.lax.stop_gradient, sugar_params)
     bg_base = jnp.asarray(bg_color, jnp.float32)
     sg = static.sugar
@@ -155,8 +160,12 @@ def make_dynamic_train_step(
         # --- ref substep (video frames) --------------------------------------
         ref_out, _, vert = _timed_render(deform_params, batch["ref_cameras"], ts,
                                          bg_base, ref_cfg)
-        gt_mask = batch["ref_mask"]
-        gt_rgb = batch["ref_rgb"] * gt_mask
+        if video_frames is not None:
+            gt_mask = video_frames[1][batch["frame_indices"]]
+            gt_rgb = video_frames[0][batch["frame_indices"]] * gt_mask
+        else:
+            gt_mask = batch["ref_mask"]
+            gt_rgb = batch["ref_rgb"] * gt_mask
         terms["rgb"] = ((gt_rgb - ref_out["comp_rgb"] * gt_mask) ** 2).mean()
         terms["mask"] = ((gt_mask - ref_out["comp_mask"]) ** 2).mean()
 
