@@ -98,6 +98,10 @@ class Trainer:
                     f"({dt / max(self.cfg.log_every_n_steps, 1):.3f}s/it)",
                     flush=True,
                 )
+                # progress file for UI polling (reference ProgressCallback,
+                # threestudio/utils/callbacks.py:122-156)
+                with open(os.path.join(self.trial_dir, "progress"), "w") as pf:
+                    pf.write(f"{step}/{self.cfg.max_steps} loss={loss:.4f}")
             if self.cfg.val_check_interval > 0 and (step + 1) % self.cfg.val_check_interval == 0:
                 experiment.validate(step + 1)
             if (step + 1) % self.cfg.checkpoint_every == 0 or step == self.cfg.max_steps - 1:

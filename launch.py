@@ -73,6 +73,18 @@ def main(args, extras) -> None:
     dump_config(os.path.join(cfg.trial_dir, "configs", "parsed.yaml"), cfg)
     with open(os.path.join(cfg.trial_dir, "cmd.txt"), "w") as f:
         f.write(" ".join(sys.argv) + "\n")
+    # code snapshot (reference CodeSnapshotCallback, callbacks.py:60-89)
+    try:
+        import subprocess
+
+        rev = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                             text=True, timeout=10)
+        diff = subprocess.run(["git", "diff", "HEAD"], capture_output=True,
+                              text=True, timeout=30)
+        with open(os.path.join(cfg.trial_dir, "code_snapshot.txt"), "w") as f:
+            f.write(f"commit: {rev.stdout.strip()}\n\n{diff.stdout}")
+    except Exception:  # noqa: BLE001
+        pass
 
     experiment = build_experiment(cfg)
 
