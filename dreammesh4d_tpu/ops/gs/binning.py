@@ -31,6 +31,24 @@ class TileAssignment(NamedTuple):
     tile_counts: jnp.ndarray  # (T,) int32 true per-tile counts (pre-truncation)
 
 
+class PairAssignment(NamedTuple):
+    """Segment layout without the (T, K) table: the sorted pair array itself.
+    Produced by :func:`bin_gaussians_pairs` for the VMEM-resident kernel —
+    avoids the scalar int32 gathers that dominate the XLA binning profile.
+
+    ``sorted_tile``/``sorted_origpos`` feed the backward's scatter-free
+    gradient reduction (TPU scatter-adds measured 67 ms here vs ~8 ms for the
+    sort+row-gather formulation): original flat pair ids ride the sort so the
+    inverse permutation is recovered with another payload sort instead of a
+    scatter."""
+
+    sorted_gauss: jnp.ndarray  # (N*M,) int32, grouped by tile, front-to-back
+    starts: jnp.ndarray  # (T,) int32 segment starts
+    counts: jnp.ndarray  # (T,) int32 segment lengths
+    sorted_tile: jnp.ndarray  # (N*M,) int32 tile id per sorted pair (T = invalid)
+    sorted_origpos: jnp.ndarray  # (N*M,) int32 original flat pair id (n*M+m)
+
+
 def num_tiles(W: int, H: int) -> tuple[int, int]:
     return (W + TILE - 1) // TILE, (H + TILE - 1) // TILE
 
@@ -105,3 +123,71 @@ def bin_gaussians(
     tile_gauss = jnp.where(valid, sorted_gauss[idx], N)
 
     return TileAssignment(tile_gauss, valid, counts)
+
+
+def bin_gaussians_pairs(
+    means2d: jnp.ndarray,
+    radii: jnp.ndarray,
+    depths: jnp.ndarray,
+    mask: jnp.ndarray,
+    W: int,
+    H: int,
+    max_tiles_per_gaussian: int = 16,
+    depth_bits: int = 20,
+) -> PairAssignment:
+    """Pair-array binning with QUANTIZED-depth packed keys.
+
+    The rank-based path needs a depth argsort plus three scalar-int32 gathers
+    (reordering tile ids, looking up (T,K) slots) that dominate the profile on
+    TPU.  Here the key is ``tile_id << depth_bits | quantize(depth)`` and the
+    gaussian id rides as a second sort operand — no argsort, no reorders, no
+    (T,K) table.  Depth quantization to ``depth_bits`` (default 2^20 levels
+    over the visible range) only affects the within-tile ORDER; ties are
+    resolved arbitrarily, indistinguishable at float precision."""
+    N = means2d.shape[0]
+    tiles_x, tiles_y = num_tiles(W, H)
+    T = tiles_x * tiles_y
+    M = max_tiles_per_gaussian
+    tile_bits = (T + 1).bit_length()
+    if tile_bits + depth_bits > 31:
+        raise ValueError(f"{T} tiles x {depth_bits} depth bits overflow int32")
+
+    r = radii.astype(jnp.float32)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    span_w = jnp.maximum(x1 - x0, 0)
+    span_h = jnp.maximum(y1 - y0, 0)
+    n_span = span_w * span_h
+    alive = mask & (radii > 0) & (n_span > 0)
+
+    d_lo = jnp.min(jnp.where(alive, depths, jnp.inf))
+    d_hi = jnp.max(jnp.where(alive, depths, -jnp.inf))
+    scale = ((1 << depth_bits) - 1) / jnp.maximum(d_hi - d_lo, 1e-6)
+    qdepth = jnp.clip(((depths - d_lo) * scale), 0, (1 << depth_bits) - 1).astype(jnp.int32)
+
+    m = jnp.arange(M, dtype=jnp.int32)[None, :]
+    sw = jnp.maximum(span_w, 1)[:, None]
+    dx = m % sw
+    dy = m // sw
+    pair_valid = alive[:, None] & (m < n_span[:, None])
+    tile_ids = jnp.where(pair_valid, (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx), T)
+    keys = ((tile_ids << depth_bits) | qdepth[:, None]).reshape(-1)
+    gauss = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, M)).reshape(-1)
+    origpos = jax.lax.broadcasted_iota(jnp.int32, (N * M, 1), 0)[:, 0]
+
+    sorted_keys, sorted_gauss, sorted_origpos = jax.lax.sort(
+        (keys, gauss, origpos), num_keys=1
+    )
+    # sentinel pairs (tile T) carry gauss id N for padded reads
+    sorted_gauss = jnp.where(sorted_keys >= (T << depth_bits), N, sorted_gauss)
+    sorted_tile = sorted_keys >> depth_bits
+
+    bounds = jnp.searchsorted(
+        sorted_keys, (jnp.arange(T + 1, dtype=jnp.int32) << depth_bits), side="left"
+    )
+    return PairAssignment(
+        sorted_gauss, bounds[:T], (bounds[1:] - bounds[:-1]).astype(jnp.int32),
+        sorted_tile, sorted_origpos,
+    )

@@ -1,0 +1,343 @@
+"""VMEM-resident Pallas rasterizer path (pair segments, no (T,K) table).
+
+The tiled kernel (pallas_blend.py) is fed by XLA gathers whose SCALAR-int32
+variants dominate the profile (6-8 ms each: depth-order reorder, (T,K) slot
+lookup).  This path eliminates every scalar gather:
+
+- binning produces the sorted PAIR array directly (quantized-depth packed
+  keys + 2-operand sort, ops/gs/binning.bin_gaussians_pairs);
+- the whole per-gaussian parameter table (N+1, 16) sits in VMEM (6.4 MB at
+  100k gaussians — gate on budget);
+- each tile DMAs its contiguous index segment HBM→SMEM and reads rows from
+  the VMEM table by index inside the kernel;
+- the backward writes per-PAIR gradients into an aliased zero-initialized
+  (NM, 16) buffer via manual VMEM→HBM DMA, and XLA scatter-adds them per
+  gaussian (row scatters are the fast gather/scatter class).
+
+Compositing math is shared with pallas_blend (groups of 32, log-space
+triangular-matmul transmittance, suffix-trick backward).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import TILE
+from .pallas_blend import (
+    ALPHA_MIN,
+    GROUP,
+    OP_COL,
+    P,
+    ROW,
+    T_EPS,
+    _exclusive_transmittance,
+    _group_geometry,
+    _pack_rows,
+    _pixel_grid,
+    _tri_incl,
+)
+
+VMEM_TABLE_BUDGET = 12 * 1024 * 1024  # bytes for the resident row table
+
+
+def fits_resident(n_gaussians: int) -> bool:
+    return (n_gaussians + 1) * ROW * 4 <= VMEM_TABLE_BUDGET
+
+
+ALIGN = 1024  # VMEM 1-D int32 tiling: dynamic slices must be 1024-aligned
+
+
+def _read_group_rows(table_ref, idx_smem, base, g0):
+    rows = [table_ref[idx_smem[base + g0 + j], :] for j in range(GROUP)]
+    return jnp.stack(rows, 0)  # (GROUP, ROW)
+
+
+def _fwd_kernel(n_channels: int, cap: int,
+                counts_ref, starts_ref, tiles_x_ref,
+                table_ref, pairs_hbm, out_ref, idx_smem, sem):
+    px, py = _pixel_grid(tiles_x_ref)
+    t = pl.program_id(0)
+    count = jnp.minimum(counts_ref[t], cap)
+    start = starts_ref[t]
+    C = n_channels
+
+    # aligned DMA window (arbitrary starts violate the 1-D VMEM tiling)
+    start_al = (start // ALIGN) * ALIGN
+    base = start - start_al
+    dma = pltpu.make_async_copy(
+        pairs_hbm.at[pl.ds(start_al, cap + ALIGN)], idx_smem, sem
+    )
+    dma.start()
+    dma.wait()
+
+    n_groups = pl.cdiv(count, GROUP)
+
+    def body(carry):
+        g, trans, acc = carry
+        g0 = g * GROUP
+        rows = _read_group_rows(table_ref, idx_smem, base, g0)
+        alpha, _, _, _, _, _ = _group_geometry(rows, px, py, g0, count)
+        t_excl, t_out = _exclusive_transmittance(alpha, trans)
+        w = alpha * t_excl
+        cols = rows[:, 5:5 + C]
+        acc = acc + jax.lax.dot_general(
+            cols, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return g + 1, t_out, acc
+
+    def cond(carry):
+        g, trans, _ = carry
+        return jnp.logical_and(g < n_groups, jnp.max(trans) > T_EPS)
+
+    trans0 = jnp.ones((1, P), jnp.float32)
+    acc0 = jnp.zeros((C, P), jnp.float32)
+    _, trans, acc = jax.lax.while_loop(cond, body, (0, trans0, acc0))
+    out_ref[0, :C, :] = acc
+    out_ref[0, C, :] = trans[0]
+
+
+def _bwd_kernel(n_channels: int, cap: int,
+                counts_ref, starts_ref, tiles_x_ref,
+                table_ref, pairs_hbm, fwd_out_ref, cot_ref,
+                grads_ref, idx_smem, sem):
+    px, py = _pixel_grid(tiles_x_ref)
+    t = pl.program_id(0)
+    count = jnp.minimum(counts_ref[t], cap)
+    start = starts_ref[t]
+    C = n_channels
+
+    start_al = (start // ALIGN) * ALIGN
+    base = start - start_al
+    dma = pltpu.make_async_copy(
+        pairs_hbm.at[pl.ds(start_al, cap + ALIGN)], idx_smem, sem
+    )
+    dma.start()
+    dma.wait()
+
+    c_total_dot_g = jnp.sum(
+        fwd_out_ref[0, :C, :] * cot_ref[0, :C, :], axis=0, keepdims=True
+    )
+    t_final = fwd_out_ref[0, C:C + 1, :]
+    g_col = cot_ref[0, :C, :]
+    g_T = cot_ref[0, C:C + 1, :]
+    n_groups = pl.cdiv(count, GROUP)
+
+    def body(carry):
+        g, trans, gdot_cpre = carry
+        g0 = g * GROUP
+        rows = _read_group_rows(table_ref, idx_smem, base, g0)
+        alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
+        t_excl, t_out = _exclusive_transmittance(alpha, trans)
+        w = alpha * t_excl
+        cols = rows[:, 5:5 + C]
+
+        gdotc = jax.lax.dot_general(
+            cols, g_col, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        contrib = gdotc * w
+        prefix = gdot_cpre + jax.lax.dot_general(
+            _tri_incl(), contrib, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+        d_alpha = (
+            t_excl * gdotc - (c_total_dot_g - prefix) / one_m - g_T * t_final / one_m
+        )
+        d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
+        d_raw = jnp.where(clamped, 0.0, d_alpha)
+        d_power = d_raw * alpha
+        d_op = jnp.sum(d_raw * jnp.exp(power) * live.astype(jnp.float32),
+                       axis=1, keepdims=True)
+        ca = rows[:, 2:3]; cb = rows[:, 3:4]; cc = rows[:, 4:5]
+        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1, keepdims=True)
+        d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
+        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
+        d_mx = jnp.sum(d_power * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
+        d_my = jnp.sum(d_power * (-(cc * dy + cb * dx)), axis=1, keepdims=True)
+        d_col = jax.lax.dot_general(
+            w, g_col, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        pad = jnp.zeros((GROUP, OP_COL - 5 - C), jnp.float32)
+        tail = jnp.zeros((GROUP, ROW - OP_COL - 1), jnp.float32)
+        grad_rows = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_col, pad, d_op, tail], axis=1
+        )
+        grads_ref[0, pl.ds(g0, GROUP), :] = grad_rows
+        return g + 1, t_out, prefix[GROUP - 1:GROUP, :]
+
+    def cond(carry):
+        g, trans, _ = carry
+        return jnp.logical_and(g < n_groups, jnp.max(trans) > T_EPS)
+
+    grads_ref[0, :, :] = jnp.zeros((cap, ROW), jnp.float32)
+    trans0 = jnp.ones((1, P), jnp.float32)
+    gpre0 = jnp.zeros((1, P), jnp.float32)
+    jax.lax.while_loop(cond, body, (0, trans0, gpre0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def blend_pairs_pallas(
+    sorted_gauss, starts_counts, means2d, conics_colors, opacities,
+    W: int, H: int, n_channels: int, cap: int, interpret: bool,
+):
+    """starts_counts = (starts, counts, sorted_tile, sorted_origpos)."""
+    out, _ = _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors,
+                       opacities, W, H, n_channels, cap, interpret)
+    return out
+
+
+def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
+              W, H, n_channels, cap, interpret):
+    conics, colors = conics_colors
+    starts, counts, sorted_tile, sorted_origpos = starts_counts
+    T = starts.shape[0]
+    C = n_channels
+    tiles_x = (W + TILE - 1) // TILE
+    rows = _pack_rows(means2d, conics, colors, opacities)  # (N+1, ROW)
+    N = means2d.shape[0]
+    # pad the pair array so ds(start, cap) never overruns
+    pairs = jnp.concatenate([sorted_gauss, jnp.full((cap + 1024,), N, jnp.int32)], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # row table, resident
+            pl.BlockSpec(memory_space=pl.ANY),  # pair indices in HBM
+        ],
+        out_specs=pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((cap + 1024,), jnp.int32), pltpu.SemaphoreType.DMA(())],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, C, cap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, C + 1, P), jnp.float32),
+        interpret=interpret,
+    )(counts.astype(jnp.int32), starts.astype(jnp.int32),
+      jnp.asarray([tiles_x], jnp.int32), rows, pairs)
+    res = (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
+           conics, colors, opacities, rows, pairs, out)
+    return out, res
+
+
+def _fwd_rule(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
+              W, H, n_channels, cap, interpret):
+    return _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors,
+                     opacities, W, H, n_channels, cap, interpret)
+
+
+def _bwd_rule(W, H, n_channels, cap, interpret, res, cot):
+    (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
+     conics, colors, opacities, rows, pairs, fwd_out) = res
+    T = starts.shape[0]
+    C = n_channels
+    N = means2d.shape[0]
+    NM = sorted_gauss.shape[0]
+    M = NM // N
+    tiles_x = (W + TILE - 1) // TILE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # row table
+            pl.BlockSpec(memory_space=pl.ANY),  # pair indices
+            pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cap, ROW), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((cap + 1024,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    tile_grads = pl.pallas_call(
+        functools.partial(_bwd_kernel, C, cap),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, cap, ROW), jnp.float32),
+        interpret=interpret,
+    )(counts.astype(jnp.int32), starts.astype(jnp.int32),
+      jnp.asarray([tiles_x], jnp.int32), rows, pairs, fwd_out, cot)
+
+    # SCATTER-FREE reduction (TPU scatter-adds on this shape measured 67 ms;
+    # sorts + row gathers are ~8 ms):
+    # 1. per sorted pair, its (tile, within-segment slot) without gathers:
+    #    segment starts via a cumulative max over boundary positions;
+    # 2. its row in the kernel output = tile*cap + slot (pad row if beyond
+    #    cap / invalid — kernel zero-fills, pad row is zeros);
+    # 3. invert the binning permutation by SORTING the original flat pair ids
+    #    with the output positions as payload — no scatter;
+    # 4. row-gather the (T*cap+1, ROW) kernel output at the per-original-pair
+    #    positions (fast gather class) and sum the (N, M) axis.
+    iota = jax.lax.broadcasted_iota(jnp.int32, (NM, 1), 0)[:, 0]
+    boundary = jnp.concatenate([
+        jnp.ones((1,), bool), sorted_tile[1:] != sorted_tile[:-1]
+    ])
+    seg_start = jax.lax.cummax(jnp.where(boundary, iota, 0))
+    slot = iota - seg_start
+    valid = (sorted_tile < T) & (slot < cap)
+    outpos = jnp.where(valid, sorted_tile * cap + slot, T * cap)  # pad row
+
+    _, outpos_by_orig = jax.lax.sort((sorted_origpos, outpos), num_keys=1)
+    flat = jnp.concatenate(
+        [tile_grads.reshape(-1, ROW), jnp.zeros((1, ROW), jnp.float32)], 0
+    )
+    grads_nm = flat[outpos_by_orig]  # (NM, ROW) in original (n, m) order
+    acc = grads_nm.reshape(N, M, ROW).sum(1)
+    d_means2d = acc[:, 0:2]
+    d_conics = acc[:, 2:5]
+    d_colors = acc[:, 5:5 + C]
+    d_opac = acc[:, OP_COL]
+    return None, None, d_means2d, (d_conics, d_colors), d_opac
+
+
+blend_pairs_pallas.defvjp(_fwd_rule, _bwd_rule)
+
+
+def blend_image_resident(
+    pa,
+    means2d: jnp.ndarray,
+    conics: jnp.ndarray,
+    colors: jnp.ndarray,
+    opacities: jnp.ndarray,
+    depths: jnp.ndarray,
+    W: int,
+    H: int,
+    background: jnp.ndarray,
+    cap: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full-image blend through the resident kernel (same outputs/contract as
+    pallas_blend.blend_image_pallas)."""
+    C_user = colors.shape[-1]
+    colors_aug = jnp.concatenate([colors, depths[:, None]], -1)
+    C = C_user + 1
+    tiles_x = (W + TILE - 1) // TILE
+    tiles_y = (H + TILE - 1) // TILE
+
+    out = blend_pairs_pallas(
+        pa.sorted_gauss, (pa.starts, pa.counts, pa.sorted_tile, pa.sorted_origpos),
+        means2d, (conics, colors_aug), opacities, W, H, C, cap, interpret,
+    )
+    acc = out[:, :C, :]
+    t_final = out[:, C, :]
+
+    def untile(flat, ch):
+        img = flat.reshape(tiles_y, tiles_x, ch, TILE, TILE)
+        img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * TILE, tiles_x * TILE, ch)
+        return img[:H, :W]
+
+    colors_img = untile(acc[:, :C_user, :], C_user)
+    depth_img = untile(acc[:, C_user:C_user + 1, :], 1)
+    trans_img = untile(t_final[:, None, :], 1)
+    alpha_img = 1.0 - trans_img
+    rgb = colors_img + trans_img * background[None, None, :]
+    return rgb, alpha_img, depth_img

@@ -111,6 +111,21 @@ def _rasterize_projected(
     cfg: RasterizerConfig,
     background: jnp.ndarray,
 ) -> RasterizeOutput:
+    if cfg.backend == "pallas_resident":
+        from .binning import bin_gaussians_pairs
+        from .pallas_resident import blend_image_resident
+
+        pa = bin_gaussians_pairs(
+            jax.lax.stop_gradient(proj.means2d), proj.radii,
+            jax.lax.stop_gradient(proj.depths), proj.mask,
+            cfg.width, cfg.height, cfg.max_tiles_per_gaussian,
+        )
+        rgb, alpha, depth = blend_image_resident(
+            pa, proj.means2d, proj.conics,
+            colors, opacities, proj.depths, cfg.width, cfg.height, background,
+            cap=cfg.tile_capacity, interpret=cfg.interpret,
+        )
+        return RasterizeOutput(rgb, proj.radii, depth, alpha)
     assign = bin_gaussians(
         jax.lax.stop_gradient(proj.means2d),
         proj.radii,

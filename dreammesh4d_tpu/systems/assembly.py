@@ -79,7 +79,7 @@ def build_raster_config(height: int, width: int, fovy_deg: float,
         tile_capacity=int(r.get("tile_capacity", 1024)),
         max_tiles_per_gaussian=int(r.get("max_tiles_per_gaussian", 16)),
         chunk=int(r.get("chunk", 32)),
-        backend=str(r.get("backend", "pallas")),
+        backend=str(r.get("backend", "pallas_resident")),
         interpret=bool(r.get("interpret", False)),
     )
 

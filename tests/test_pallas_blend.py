@@ -126,3 +126,48 @@ def test_pallas_in_render_view():
     np.testing.assert_allclose(np.asarray(o2["comp_rgb"]), np.asarray(o1["comp_rgb"]), atol=3e-3)
     np.testing.assert_allclose(np.asarray(o2["comp_mask"]), np.asarray(o1["comp_mask"]), atol=3e-3)
     np.testing.assert_allclose(np.asarray(o2["comp_normal"]), np.asarray(o1["comp_normal"]), atol=5e-3)
+
+
+def test_resident_forward_matches_xla():
+    scene = make_scene()
+    t = float(np.tan(FOV / 2))
+    base = dict(width=64, height=64, tan_fovx=t, tan_fovy=t, tile_capacity=256, chunk=32)
+    cfg_xla = RasterizerConfig(**base, backend="xla")
+    cfg_res = RasterizerConfig(**base, backend="pallas_resident", interpret=True)
+    bg = jnp.asarray([0.3, 0.2, 0.1])
+    out_x = render(cfg_xla, *scene, bg)
+    out_r = render(cfg_res, *scene, bg)
+    np.testing.assert_allclose(np.asarray(out_r.rgb), np.asarray(out_x.rgb), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(out_r.alpha), np.asarray(out_x.alpha), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(out_r.depth), np.asarray(out_x.depth), atol=6e-3)
+
+
+def test_resident_gradients_match_xla():
+    scene = make_scene(N=60, seed=1)
+    p, quats, scales, colors, opac, cam = scene
+    t = float(np.tan(FOV / 2))
+    base = dict(width=32, height=32, tan_fovx=t, tan_fovy=t, tile_capacity=256, chunk=32)
+    cfg_xla = RasterizerConfig(**base, backend="xla")
+    cfg_res = RasterizerConfig(**base, backend="pallas_resident", interpret=True)
+    bg = jnp.asarray([1.0, 1.0, 1.0])
+    target = jnp.zeros((32, 32, 3))
+
+    def loss(cfg, params):
+        out = rasterize(
+            params["p"], jax.nn.sigmoid(params["ol"]), cam, cfg, bg,
+            colors=jax.nn.sigmoid(params["c"]), scales=jnp.exp(params["ls"]),
+            quats=params["q"],
+        )
+        return ((out.rgb - target) ** 2).mean() + 0.1 * out.depth.mean() + 0.05 * out.alpha.mean()
+
+    params = {
+        "p": p, "q": quats, "ls": jnp.log(scales),
+        "c": jnp.log(colors / (1 - colors + 1e-6)), "ol": jnp.full((60,), 0.5),
+    }
+    gx = jax.grad(lambda pr: loss(cfg_xla, pr))(params)
+    gr = jax.grad(lambda pr: loss(cfg_res, pr))(params)
+    for k in params:
+        a, b = np.asarray(gx[k]), np.asarray(gr[k])
+        assert np.isfinite(b).all(), k
+        denom = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / denom, a / denom, atol=3e-3, err_msg=k)
