@@ -65,14 +65,25 @@ def main():
     parser.add_argument("--mesh_path", required=True)
     parser.add_argument("--scale", type=float, default=30.0,
                         help="bbox diagonal / scale = clustering voxel size")
+    parser.add_argument("--method", choices=["cluster", "quadric"], default="cluster",
+                        help="cluster = vertex clustering (reference script parity); "
+                             "quadric = QEM edge collapse (pymeshlab-filter parity)")
+    parser.add_argument("--target_faces", type=int, default=None,
+                        help="quadric method: face budget (default n_faces/4)")
     args = parser.parse_args()
 
     mesh = load_mesh(args.mesh_path)
-    diag = float(np.linalg.norm(mesh.v_pos.max(0) - mesh.v_pos.min(0)))
-    voxel = diag / args.scale
-    out = simplify_vertex_clustering(mesh, voxel)
+    if args.method == "quadric":
+        from dreammesh4d_tpu.export.decimate import quadric_decimate
+        target = args.target_faces or max(4, mesh.n_faces // 4)
+        out = quadric_decimate(mesh, target_faces=target)
+    else:
+        diag = float(np.linalg.norm(mesh.v_pos.max(0) - mesh.v_pos.min(0)))
+        voxel = diag / args.scale
+        out = simplify_vertex_clustering(mesh, voxel)
     base = os.path.splitext(args.mesh_path)[0]
-    out_path = f"{base}_{int(args.scale)}_{out.n_verts}.ply"
+    suffix = f"qem{out.n_faces}" if args.method == "quadric" else f"{int(args.scale)}"
+    out_path = f"{base}_{suffix}_{out.n_verts}.ply"
     save_ply_mesh(out_path, out)
     print(f"{mesh.n_verts} verts -> {out.n_verts} verts; saved {out_path}")
 
