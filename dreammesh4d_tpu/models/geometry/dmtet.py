@@ -98,6 +98,17 @@ def build_tet_grid(resolution: int) -> TetGrid:
     )  # (C, 8) — corner bit order matches marching_tets.cpp (x<<2 | y<<1 | z)
     tets = corners[:, _CUBE_TETS.reshape(-1)].reshape(-1, 4).astype(np.int32)
 
+    # canonicalize orientation (positive signed volume) — the triangle table
+    # only yields consistent winding when every tet is equally oriented
+    tv = verts[tets]
+    vol = np.einsum(
+        "ij,ij->i",
+        np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]),
+        tv[:, 3] - tv[:, 0],
+    )
+    flip = vol < 0
+    tets[flip] = tets[flip][:, [0, 1, 3, 2]]
+
     e = tets[:, _TET_EDGES.reshape(-1)].reshape(-1, 2)  # (T*6, 2)
     e = np.sort(e, axis=1)
     ekey = e[:, 0].astype(np.int64) * len(verts) + e[:, 1]
