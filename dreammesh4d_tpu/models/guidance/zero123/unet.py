@@ -40,7 +40,12 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
-        groups = min(32, x.shape[-1])  # tiny test configs have <32 channels
+        # largest divisor of C that is <= 32 (full-size SD channels are all
+        # multiples of 32; tiny test configs may not be)
+        C = x.shape[-1]
+        groups = min(32, C)
+        while C % groups != 0:
+            groups -= 1
         x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32)(x.astype(jnp.float32))
         return x.astype(orig)
