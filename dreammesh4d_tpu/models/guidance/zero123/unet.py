@@ -185,7 +185,11 @@ class UNetModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, t, context):
+    def __call__(self, x, t, context, control=None):
+        """``control``: optional dict {"down": [residual per skip], "mid": r}
+        produced by a ControlNet branch — residuals are added to the skip
+        activations and the mid output (the standard ControlNet injection
+        points)."""
         mc = self.model_channels
         emb = timestep_embedding(t, mc)
         emb = nn.Dense(mc * 4, dtype=self.dtype, name="time_embed_0")(emb.astype(self.dtype))
@@ -215,6 +219,9 @@ class UNetModel(nn.Module):
         h = SpatialTransformer(self.num_heads, self.transformer_depth, self.dtype,
                                name="mid_attn")(h, context)
         h = ResBlock(ch, self.dtype, name="mid_res2")(h, emb)
+        if control is not None:
+            h = h + control["mid"]
+            hs = [s + c for s, c in zip(hs, control["down"])]
         # up
         for level, mult in list(enumerate(self.channel_mult))[::-1]:
             ch = mc * mult
