@@ -91,3 +91,40 @@ class SolidColorBackground:
             use_rand = jax.random.uniform(k2) < self.random_aug_prob
             color = jnp.where(use_rand, rand_color, color)
         return color
+
+
+@ds.register("textured-background")
+@dataclass
+class TexturedBackground:
+    """Learnable equirect texture background
+    (threestudio/models/background/textured_background.py:14-55): direction →
+    spherical (u, v) → bilinear sample of a (H, W, C) texture, sigmoid color.
+
+    grid_sample(reflection padding) is replaced by explicit index math:
+    wrap in azimuth, clamp at the poles — identical inside the texture."""
+
+    n_output_dims: int = 3
+    height: int = 64
+    width: int = 64
+
+    def init_params(self, rng: jax.Array) -> dict:
+        return {"texture": jax.random.normal(rng, (self.height, self.width, self.n_output_dims))}
+
+    def __call__(self, params: dict, dirs: jnp.ndarray, **kwargs) -> jnp.ndarray:
+        tex = params["texture"]
+        H, W, _ = tex.shape
+        x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+        xy = jnp.sqrt(x * x + y * y + 1e-12)
+        u = jnp.arctan2(xy, z) / jnp.pi            # [0, 1] polar
+        v = (jnp.arctan2(y, x) / (2 * jnp.pi)) % 1.0
+        fi = jnp.clip(u * (H - 1), 0, H - 1)
+        fj = v * W
+        i0 = jnp.floor(fi).astype(jnp.int32)
+        j0 = jnp.floor(fj).astype(jnp.int32) % W
+        i1 = jnp.minimum(i0 + 1, H - 1)
+        j1 = (j0 + 1) % W
+        wi = (fi - i0)[..., None]
+        wj = (fj - jnp.floor(fj))[..., None]
+        c = ((1 - wi) * ((1 - wj) * tex[i0, j0] + wj * tex[i0, j1])
+             + wi * ((1 - wj) * tex[i1, j0] + wj * tex[i1, j1]))
+        return jax.nn.sigmoid(c)
