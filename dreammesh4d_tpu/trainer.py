@@ -17,7 +17,6 @@ An *experiment* object provides the stage-specific callbacks:
 
 from __future__ import annotations
 
-import csv
 import json
 import os
 import time
@@ -43,6 +42,9 @@ class TrainerConfig:
     # [profile_start_step, profile_start_step + profile_steps)
     profile_start_step: int = -1
     profile_steps: int = 5
+    # logger backends (reference: lightning TensorBoardLogger/WandbLogger,
+    # launch.py:150-170); unavailable backends degrade to warn + no-op
+    loggers: tuple = ("csv",)
 
 
 class Trainer:
@@ -50,20 +52,13 @@ class Trainer:
         self.cfg = cfg
         self.trial_dir = trial_dir
         self.ckpt_dir = os.path.join(trial_dir, "ckpts")
-        self.log_path = os.path.join(trial_dir, "metrics.csv")
         os.makedirs(trial_dir, exist_ok=True)
-        self._csv_keys = None
+        from .utils.loggers import LoggerCollection, build_loggers
+
+        self.logger = LoggerCollection(build_loggers(cfg.loggers, trial_dir))
 
     def _log(self, step: int, metrics: dict):
-        row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
-        new_file = not os.path.exists(self.log_path)
-        if self._csv_keys is None:
-            self._csv_keys = list(row.keys())
-        with open(self.log_path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._csv_keys, extrasaction="ignore")
-            if new_file:
-                w.writeheader()
-            w.writerow(row)
+        self.logger.log_metrics(metrics, step)
 
     def fit(self, experiment, resume: Optional[str] = None) -> None:
         start_step = 0
@@ -107,6 +102,7 @@ class Trainer:
             if (step + 1) % self.cfg.checkpoint_every == 0 or step == self.cfg.max_steps - 1:
                 save_checkpoint(self.ckpt_dir, step + 1, experiment.state_for_checkpoint())
         total = time.time() - t0
+        self.logger.finalize()
         with open(os.path.join(self.trial_dir, "train_summary.json"), "w") as f:
             json.dump({"steps": self.cfg.max_steps, "wall_s": total}, f)
         print(f"Training finished in {total:.1f}s", flush=True)

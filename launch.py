@@ -95,6 +95,7 @@ def main(args, extras) -> None:
         val_check_interval=int(tcfg_d.get("val_check_interval", 200)),
         checkpoint_every=int(dict(cfg.checkpoint or {}).get("every_n_train_steps",
                                                             tcfg_d.get("max_steps", 2000))),
+        loggers=tuple(tcfg_d.get("loggers", ("csv",))),
     )
     trainer = Trainer(tcfg, cfg.trial_dir)
 
