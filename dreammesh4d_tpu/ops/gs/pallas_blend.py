@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .binning import TILE
 
-GROUP = 32
+GROUP = 128
 ROW = 16  # packed row width (params + colors), padded for alignment
 OP_COL = 14  # opacity column in the packed row
 P = TILE * TILE  # 256 pixels per tile

@@ -290,8 +290,14 @@ def _bwd_rule(W, H, n_channels, cap, interpret, res, cot):
     flat = jnp.concatenate(
         [tile_grads.reshape(-1, ROW), jnp.zeros((1, ROW), jnp.float32)], 0
     )
-    grads_nm = flat[outpos_by_orig]  # (NM, ROW) in original (n, m) order
-    acc = grads_nm.reshape(N, M, ROW).sum(1)
+    # one (NM, ROW) gather forces XLA into a column-major layout + a 3 ms
+    # transposing reshape (profiled: 5.5 ms gather + 3.2 ms reshape); M
+    # separate (N, ROW) row-gathers keep the natural row layout and the adds
+    # fuse into the gathers
+    pos_nm = outpos_by_orig.reshape(N, M)
+    acc = flat[pos_nm[:, 0]]
+    for j in range(1, M):
+        acc = acc + flat[pos_nm[:, j]]
     d_means2d = acc[:, 0:2]
     d_conics = acc[:, 2:5]
     d_colors = acc[:, 5:5 + C]
