@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .binning import TILE
 
-GROUP = 128
+GROUP = 32  # default group size; kernels take `group` explicitly
 ROW = 16  # packed row width (params + colors), padded for alignment
 OP_COL = 14  # opacity column in the packed row
 P = TILE * TILE  # 256 pixels per tile
@@ -80,24 +80,24 @@ def _group_geometry(rows, px, py, g0, count):
     raw = op * jnp.exp(power)
     clamped = raw > ALPHA_MAX
     alpha0 = jnp.minimum(ALPHA_MAX, raw)
-    valid = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) + g0) < count
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], 1), 0) + g0) < count
     live = (power <= 0.0) & (alpha0 >= ALPHA_MIN) & valid
     alpha = jnp.where(live, alpha0, 0.0)
     return alpha, power, dx, dy, live, clamped
 
 
-def _tri_strict():
-    """Strictly-lower-triangular ones (GROUP, GROUP) — cumulative products/
+def _tri_strict(G):
+    """Strictly-lower-triangular ones (G, G) — cumulative products/
     sums along the group axis become a single MXU matmul instead of a
-    GROUP-step unrolled scan."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
+    G-step unrolled scan."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
     return (c < r).astype(jnp.float32)
 
 
-def _tri_incl():
-    r = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
+def _tri_incl(G):
+    r = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
     return (c <= r).astype(jnp.float32)
 
 
@@ -110,26 +110,27 @@ def _exclusive_transmittance(alpha, trans):
     Lstrict is the strictly-lower-triangular ones matrix — the sequential
     product becomes one (GROUP,GROUP)x(GROUP,P) MXU matmul.  α ≤ 0.99 keeps
     log1p well-conditioned."""
-    l = jnp.log1p(-alpha)  # (GROUP, P), <= 0
+    l = jnp.log1p(-alpha)  # (G, P), <= 0
     csum = jax.lax.dot_general(
-        _tri_strict(), l, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        _tri_strict(alpha.shape[0]), l, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     t_excl = trans * jnp.exp(csum)
     t_out = trans * jnp.exp(jnp.sum(l, axis=0, keepdims=True))
     return t_excl, t_out
 
 
-def _fwd_kernel(n_channels: int, counts_ref, tiles_x_ref, data_ref, out_ref):
+def _fwd_kernel(n_channels: int, group: int, counts_ref, tiles_x_ref, data_ref, out_ref):
     px, py = _pixel_grid(tiles_x_ref)
     t = pl.program_id(0)
     count = counts_ref[t]
-    n_groups = pl.cdiv(count, GROUP)
+    n_groups = pl.cdiv(count, group)
     C = n_channels
 
     def body(carry):
         g, trans, acc = carry  # trans (1,P); acc (C, P)
-        g0 = g * GROUP
-        rows = data_ref[0, pl.ds(g0, GROUP), :]  # (GROUP, ROW)
+        g0 = g * group
+        rows = data_ref[0, pl.ds(g0, group), :]  # (group, ROW)
         alpha, _, _, _, _, _ = _group_geometry(rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans)
         w = alpha * t_excl  # (GROUP, P)
@@ -150,14 +151,14 @@ def _fwd_kernel(n_channels: int, counts_ref, tiles_x_ref, data_ref, out_ref):
     out_ref[0, C, :] = trans[0]
 
 
-def _bwd_kernel(n_channels: int, counts_ref, tiles_x_ref, data_ref, fwd_out_ref,
-                cot_ref, grad_ref):
+def _bwd_kernel(n_channels: int, group: int, counts_ref, tiles_x_ref, data_ref,
+                fwd_out_ref, cot_ref, grad_ref):
     """Front-to-back replay.  cot rows: (C+1, P) = [g_colors, g_T] where g_T
     already folds the background and alpha cotangents (plain-JAX wrapper)."""
     px, py = _pixel_grid(tiles_x_ref)
     t = pl.program_id(0)
     count = counts_ref[t]
-    n_groups = pl.cdiv(count, GROUP)
+    n_groups = pl.cdiv(count, group)
     C = n_channels
 
     c_total_dot_g = jnp.sum(
@@ -171,8 +172,8 @@ def _bwd_kernel(n_channels: int, counts_ref, tiles_x_ref, data_ref, fwd_out_ref,
 
     def body(carry):
         g, trans, gdot_cpre = carry  # gdot_cpre: (1,P) = g·C_{≤ processed}
-        g0 = g * GROUP
-        rows = data_ref[0, pl.ds(g0, GROUP), :]
+        g0 = g * group
+        rows = data_ref[0, pl.ds(g0, group), :]
         alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans)
         w = alpha * t_excl  # (GROUP, P)
@@ -186,7 +187,7 @@ def _bwd_kernel(n_channels: int, counts_ref, tiles_x_ref, data_ref, fwd_out_ref,
         # matmul (Mosaic has no cumsum lowering)
         contrib = gdotc * w  # (GROUP, P)
         prefix = gdot_cpre + jax.lax.dot_general(
-            _tri_incl(), contrib, (((1,), (0,)), ((), ())),
+            _tri_incl(group), contrib, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
@@ -211,13 +212,13 @@ def _bwd_kernel(n_channels: int, counts_ref, tiles_x_ref, data_ref, fwd_out_ref,
         d_col = jax.lax.dot_general(
             w, g_col, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        pad = jnp.zeros((GROUP, OP_COL - 5 - C), jnp.float32)
-        tail = jnp.zeros((GROUP, ROW - OP_COL - 1), jnp.float32)
+        pad = jnp.zeros((group, OP_COL - 5 - C), jnp.float32)
+        tail = jnp.zeros((group, ROW - OP_COL - 1), jnp.float32)
         grad_rows = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_col, pad, d_op, tail], axis=1
         )
-        grad_ref[0, pl.ds(g0, GROUP), :] = grad_rows
-        return g + 1, t_out, prefix[GROUP - 1:GROUP, :]
+        grad_ref[0, pl.ds(g0, group), :] = grad_rows
+        return g + 1, t_out, prefix[group - 1:group, :]
 
     def cond(carry):
         g, trans, _ = carry
@@ -242,20 +243,20 @@ def _pack_rows(means2d, conics, colors, opacities):
     return jnp.concatenate([rows, jnp.zeros((1, ROW), jnp.float32)], 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def blend_tiles_pallas(
     tile_gauss, tile_counts, means2d, conics_colors, opacities,
-    W: int, H: int, n_channels: int, interpret: bool,
+    W: int, H: int, n_channels: int, interpret: bool, group: int = GROUP,
 ):
     out, _ = _blend_fwd_impl(
         tile_gauss, tile_counts, means2d, conics_colors, opacities, W, H,
-        n_channels, interpret,
+        n_channels, interpret, group,
     )
     return out
 
 
 def _blend_fwd_impl(tile_gauss, tile_counts, means2d, conics_colors, opacities,
-                    W, H, n_channels, interpret):
+                    W, H, n_channels, interpret, group):
     conics, colors = conics_colors
     T, K = tile_gauss.shape
     C = n_channels
@@ -270,7 +271,7 @@ def _blend_fwd_impl(tile_gauss, tile_counts, means2d, conics_colors, opacities,
         out_specs=pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, C),
+        functools.partial(_fwd_kernel, C, group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, C + 1, P), jnp.float32),
         interpret=interpret,
@@ -279,14 +280,14 @@ def _blend_fwd_impl(tile_gauss, tile_counts, means2d, conics_colors, opacities,
 
 
 def _blend_fwd_rule(tile_gauss, tile_counts, means2d, conics_colors, opacities,
-                    W, H, n_channels, interpret):
+                    W, H, n_channels, interpret, group):
     return _blend_fwd_impl(
         tile_gauss, tile_counts, means2d, conics_colors, opacities, W, H,
-        n_channels, interpret,
+        n_channels, interpret, group,
     )
 
 
-def _blend_bwd_rule(W, H, n_channels, interpret, res, cot):
+def _blend_bwd_rule(W, H, n_channels, interpret, group, res, cot):
     tile_gauss, tile_counts, means2d, conics, colors, opacities, tile_data, fwd_out = res
     T, K = tile_gauss.shape
     C = n_channels
@@ -304,7 +305,7 @@ def _blend_bwd_rule(W, H, n_channels, interpret, res, cot):
         out_specs=pl.BlockSpec((1, K, ROW), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     tile_grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, C),
+        functools.partial(_bwd_kernel, C, group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, K, ROW), jnp.float32),
         interpret=interpret,
@@ -336,6 +337,7 @@ def blend_image_pallas(
     H: int,
     background: jnp.ndarray,
     interpret: bool = False,
+    group: int = GROUP,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full-image blend through the Pallas kernel: (rgb_HWC, alpha_HW1,
     depth_HW1) with background composited — matches blend.blend_tiles.
@@ -352,7 +354,7 @@ def blend_image_pallas(
 
     out = blend_tiles_pallas(
         tile_gauss, tile_counts, means2d, (conics, colors_aug), opacities,
-        W, H, C, interpret,
+        W, H, C, interpret, group,
     )  # (T, C+1, P)
 
     acc = out[:, :C, :]

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .binning import TILE
 from .pallas_blend import (
     ALPHA_MIN,
-    GROUP,
+    GROUP,  # default group size
     OP_COL,
     P,
     ROW,
@@ -53,12 +53,12 @@ def fits_resident(n_gaussians: int) -> bool:
 ALIGN = 1024  # VMEM 1-D int32 tiling: dynamic slices must be 1024-aligned
 
 
-def _read_group_rows(table_ref, idx_smem, base, g0):
-    rows = [table_ref[idx_smem[base + g0 + j], :] for j in range(GROUP)]
-    return jnp.stack(rows, 0)  # (GROUP, ROW)
+def _read_group_rows(table_ref, idx_smem, base, g0, group):
+    rows = [table_ref[idx_smem[base + g0 + j], :] for j in range(group)]
+    return jnp.stack(rows, 0)  # (group, ROW)
 
 
-def _fwd_kernel(n_channels: int, cap: int,
+def _fwd_kernel(n_channels: int, cap: int, group: int,
                 counts_ref, starts_ref, tiles_x_ref,
                 table_ref, pairs_hbm, out_ref, idx_smem, sem):
     px, py = _pixel_grid(tiles_x_ref)
@@ -76,12 +76,12 @@ def _fwd_kernel(n_channels: int, cap: int,
     dma.start()
     dma.wait()
 
-    n_groups = pl.cdiv(count, GROUP)
+    n_groups = pl.cdiv(count, group)
 
     def body(carry):
         g, trans, acc = carry
-        g0 = g * GROUP
-        rows = _read_group_rows(table_ref, idx_smem, base, g0)
+        g0 = g * group
+        rows = _read_group_rows(table_ref, idx_smem, base, g0, group)
         alpha, _, _, _, _, _ = _group_geometry(rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans)
         w = alpha * t_excl
@@ -102,7 +102,7 @@ def _fwd_kernel(n_channels: int, cap: int,
     out_ref[0, C, :] = trans[0]
 
 
-def _bwd_kernel(n_channels: int, cap: int,
+def _bwd_kernel(n_channels: int, cap: int, group: int,
                 counts_ref, starts_ref, tiles_x_ref,
                 table_ref, pairs_hbm, fwd_out_ref, cot_ref,
                 grads_ref, idx_smem, sem):
@@ -126,12 +126,12 @@ def _bwd_kernel(n_channels: int, cap: int,
     t_final = fwd_out_ref[0, C:C + 1, :]
     g_col = cot_ref[0, :C, :]
     g_T = cot_ref[0, C:C + 1, :]
-    n_groups = pl.cdiv(count, GROUP)
+    n_groups = pl.cdiv(count, group)
 
     def body(carry):
         g, trans, gdot_cpre = carry
-        g0 = g * GROUP
-        rows = _read_group_rows(table_ref, idx_smem, base, g0)
+        g0 = g * group
+        rows = _read_group_rows(table_ref, idx_smem, base, g0, group)
         alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans)
         w = alpha * t_excl
@@ -142,7 +142,7 @@ def _bwd_kernel(n_channels: int, cap: int,
         )
         contrib = gdotc * w
         prefix = gdot_cpre + jax.lax.dot_general(
-            _tri_incl(), contrib, (((1,), (0,)), ((), ())),
+            _tri_incl(group), contrib, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
@@ -163,13 +163,13 @@ def _bwd_kernel(n_channels: int, cap: int,
         d_col = jax.lax.dot_general(
             w, g_col, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        pad = jnp.zeros((GROUP, OP_COL - 5 - C), jnp.float32)
-        tail = jnp.zeros((GROUP, ROW - OP_COL - 1), jnp.float32)
+        pad = jnp.zeros((group, OP_COL - 5 - C), jnp.float32)
+        tail = jnp.zeros((group, ROW - OP_COL - 1), jnp.float32)
         grad_rows = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_col, pad, d_op, tail], axis=1
         )
-        grads_ref[0, pl.ds(g0, GROUP), :] = grad_rows
-        return g + 1, t_out, prefix[GROUP - 1:GROUP, :]
+        grads_ref[0, pl.ds(g0, group), :] = grad_rows
+        return g + 1, t_out, prefix[group - 1:group, :]
 
     def cond(carry):
         g, trans, _ = carry
@@ -181,19 +181,20 @@ def _bwd_kernel(n_channels: int, cap: int,
     jax.lax.while_loop(cond, body, (0, trans0, gpre0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def blend_pairs_pallas(
     sorted_gauss, starts_counts, means2d, conics_colors, opacities,
     W: int, H: int, n_channels: int, cap: int, interpret: bool,
+    group: int = GROUP,
 ):
     """starts_counts = (starts, counts, sorted_tile, sorted_origpos)."""
     out, _ = _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors,
-                       opacities, W, H, n_channels, cap, interpret)
+                       opacities, W, H, n_channels, cap, interpret, group)
     return out
 
 
 def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
-              W, H, n_channels, cap, interpret):
+              W, H, n_channels, cap, interpret, group):
     conics, colors = conics_colors
     starts, counts, sorted_tile, sorted_origpos = starts_counts
     T = starts.shape[0]
@@ -216,7 +217,7 @@ def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
         scratch_shapes=[pltpu.SMEM((cap + 1024,), jnp.int32), pltpu.SemaphoreType.DMA(())],
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, C, cap),
+        functools.partial(_fwd_kernel, C, cap, group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, C + 1, P), jnp.float32),
         interpret=interpret,
@@ -228,12 +229,12 @@ def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
 
 
 def _fwd_rule(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
-              W, H, n_channels, cap, interpret):
+              W, H, n_channels, cap, interpret, group):
     return _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors,
-                     opacities, W, H, n_channels, cap, interpret)
+                     opacities, W, H, n_channels, cap, interpret, group)
 
 
-def _bwd_rule(W, H, n_channels, cap, interpret, res, cot):
+def _bwd_rule(W, H, n_channels, cap, interpret, group, res, cot):
     (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
      conics, colors, opacities, rows, pairs, fwd_out) = res
     T = starts.shape[0]
@@ -260,7 +261,7 @@ def _bwd_rule(W, H, n_channels, cap, interpret, res, cot):
         ],
     )
     tile_grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, C, cap),
+        functools.partial(_bwd_kernel, C, cap, group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, cap, ROW), jnp.float32),
         interpret=interpret,
@@ -320,6 +321,7 @@ def blend_image_resident(
     background: jnp.ndarray,
     cap: int = 1024,
     interpret: bool = False,
+    group: int = GROUP,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full-image blend through the resident kernel (same outputs/contract as
     pallas_blend.blend_image_pallas)."""
@@ -331,7 +333,7 @@ def blend_image_resident(
 
     out = blend_pairs_pallas(
         pa.sorted_gauss, (pa.starts, pa.counts, pa.sorted_tile, pa.sorted_origpos),
-        means2d, (conics, colors_aug), opacities, W, H, C, cap, interpret,
+        means2d, (conics, colors_aug), opacities, W, H, C, cap, interpret, group,
     )
     acc = out[:, :C, :]
     t_final = out[:, C, :]

@@ -62,6 +62,12 @@ class RasterizerConfig(NamedTuple):
     near: float = 0.2
     backend: str = "xla"
     interpret: bool = False
+    # Pallas group size. 0 = auto from the expected pairs-per-tile density:
+    # big groups (128) make the cumprod triangular matmuls MXU-sized on
+    # dense scenes (measured +15% on the 100k bench) but waste up to a full
+    # group of work per sparse tile (measured 4x SLOWER on the 30k-gaussian
+    # training step).
+    group: int = 0
 
 
 def rasterize(
@@ -104,6 +110,18 @@ def rasterize(
     return _rasterize_projected(proj, colors, opacities, cfg, background)
 
 
+def _auto_group(cfg: RasterizerConfig, n_gaussians: int) -> int:
+    """Trace-time group-size heuristic from average pairs per tile."""
+    if cfg.group:
+        return cfg.group
+    tiles = ((cfg.width + 15) // 16) * ((cfg.height + 15) // 16)
+    avg = n_gaussians * cfg.max_tiles_per_gaussian / max(tiles, 1)
+    # measured: avg 879 pairs/tile -> group 128 is +15% (MXU-sized matmuls);
+    # avg 264 -> groups 64/128 are ~4x SLOWER (sparse tiles pay a full
+    # group); only jump to 128 when tiles are clearly dense
+    return 128 if avg >= 640 else 32
+
+
 def _rasterize_projected(
     proj: ProjectedGaussians,
     colors: jnp.ndarray,
@@ -124,6 +142,7 @@ def _rasterize_projected(
             pa, proj.means2d, proj.conics,
             colors, opacities, proj.depths, cfg.width, cfg.height, background,
             cap=cfg.tile_capacity, interpret=cfg.interpret,
+            group=_auto_group(cfg, proj.means2d.shape[0]),
         )
         return RasterizeOutput(rgb, proj.radii, depth, alpha)
     assign = bin_gaussians(
@@ -151,6 +170,7 @@ def _rasterize_projected(
             cfg.height,
             background,
             interpret=cfg.interpret,
+            group=_auto_group(cfg, proj.means2d.shape[0]),
         )
         return RasterizeOutput(rgb, proj.radii, depth, alpha)
     out: BlendOutput = blend_tiles(
