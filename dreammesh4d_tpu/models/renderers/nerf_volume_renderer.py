@@ -126,8 +126,10 @@ def render_rays(
     dt = jnp.concatenate([dt, jnp.full_like(dt[:, :1], 1e-3)], -1)
     weights, opacity = _composite(density, dt)
 
-    # shading
-    albedo = jax.nn.sigmoid(features[..., :3])
+    # shading; n_feature_dims may exceed 3 (latentnerf renders 4 latent
+    # channels straight through, latentnerf.py rgb_as_latents path)
+    n_ch = bg_color.shape[-1] if hasattr(bg_color, "shape") and bg_color.ndim else 3
+    albedo = jax.nn.sigmoid(features[..., :n_ch])
     if material is not None:
         rgb_samples = material.shade(
             albedo, normal, pts, light_positions[:, None, :],

@@ -33,7 +33,9 @@ def face_normals(verts: jnp.ndarray, faces: jnp.ndarray, normalize: bool = True)
     v2 = verts[..., faces[:, 2], :]
     n = jnp.cross(v1 - v0, v2 - v0)
     if normalize:
-        n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+        # rsqrt(|n|^2+eps): the norm-division form has a NaN cotangent at
+        # zero-area faces (degenerate masked faces in DMTet surfaces)
+        n = n * jax.lax.rsqrt((n * n).sum(-1, keepdims=True) + 1e-20)
     return n
 
 
@@ -43,7 +45,8 @@ def vertex_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     vn = jnp.zeros_like(verts)
     for k in range(3):
         vn = vn.at[..., faces[:, k], :].add(fn)
-    return vn / (jnp.linalg.norm(vn, axis=-1, keepdims=True) + 1e-12)
+    # NaN-safe at isolated vertices (zero accumulated normal)
+    return vn * jax.lax.rsqrt((vn * vn).sum(-1, keepdims=True) + 1e-20)
 
 
 # ---------------------------------------------------------------------------
