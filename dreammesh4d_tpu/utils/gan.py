@@ -36,11 +36,11 @@ def init_discriminator(cfg: DiscriminatorConfig, rng: jax.Array) -> Dict[str, An
     for i, m in enumerate(mults):
         c_out = cfg.ndf * m
         k, k1 = jax.random.split(k)
+        # strides/norm flags are structural (derived from position in
+        # apply_discriminator) so the param tree stays all-float for grad
         layers.append({
             "w": jax.random.normal(k1, (4, 4, c_in, c_out)) * 0.02,
             "b": jnp.zeros((c_out,)),
-            "stride": 2 if i < cfg.n_layers else 1,
-            "norm": i > 0,
         })
         c_in = c_out
     k, k1 = jax.random.split(k)
@@ -63,13 +63,14 @@ def _groupnorm(x: jnp.ndarray, groups: int = 32) -> jnp.ndarray:
 def apply_discriminator(params, x: jnp.ndarray) -> jnp.ndarray:
     """x: (B, H, W, C) -> (B, h, w, 1) patch logits."""
     h = x
-    for layer in params["layers"]:
-        s = int(layer["stride"])
+    n = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        s = 2 if i < n - 1 else 1
         h = jax.lax.conv_general_dilated(
             h, layer["w"], (s, s), [(1, 2), (1, 2)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + layer["b"]
-        if layer["norm"]:
+        if i > 0:
             h = _groupnorm(h)
         h = jax.nn.leaky_relu(h, 0.2)
     return jax.lax.conv_general_dilated(
