@@ -126,3 +126,86 @@ def project_gaussians(
     radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
 
     return ProjectedGaussians(means2d, depths, conics, radii, valid)
+
+
+def project_gaussians_sq(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    world_view: jnp.ndarray,
+    full_proj: jnp.ndarray,
+    tan_fovx: float,
+    tan_fovy: float,
+    W: int,
+    H: int,
+    near: float = 0.2,
+) -> ProjectedGaussians:
+    """Projection specialized to (scales, quats) — matmul-free covariance.
+
+    Same math as ``compute_cov3d`` + ``project_gaussians`` but cov2d is
+    assembled as cov2d = U Uᵀ with U[i,k] = s_k · (t_i · R[:,k]) computed by
+    ELEMENTWISE mul/sum chains instead of batched (N,3,3)/(N,2,3)
+    dot_generals: the tiny per-gaussian matmuls lower to windowed emitters
+    on TPU whose fwd+bwd cost ~2.5 ms/iter on the 100k benchmark (xprof:
+    broadcast_multiply_fusion + multiply_reduce_fusion at projection.py:43-44)
+    — the fused elementwise form eliminates them."""
+    N = means3d.shape[0]
+    focal_x = W / (2.0 * tan_fovx)
+    focal_y = H / (2.0 * tan_fovy)
+
+    ones = jnp.ones((N, 1), means3d.dtype)
+    hom = jnp.concatenate([means3d, ones], -1)
+    p_view = hom @ world_view[:, :3]
+    p_hom = hom @ full_proj
+    p_w = 1.0 / (p_hom[:, 3:4] + 1e-7)
+    p_ndc = p_hom[:, :3] * p_w
+    means2d = jnp.stack(
+        [((p_ndc[:, 0] + 1.0) * W - 1.0) * 0.5, ((p_ndc[:, 1] + 1.0) * H - 1.0) * 0.5], -1
+    )
+    depths = p_view[:, 2]
+
+    tz = depths
+    lim_x, lim_y = 1.3 * tan_fovx, 1.3 * tan_fovy
+    txtz = jnp.clip(p_view[:, 0] / tz, -lim_x, lim_x)
+    tytz = jnp.clip(p_view[:, 1] / tz, -lim_y, lim_y)
+    tx = txtz * tz
+    ty = tytz * tz
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+
+    R_wv = world_view[:3, :3].T  # (3,3) camera constant
+    # rows of T = J @ R_wv, built from J's sparsity (2 nonzeros per row)
+    t0 = (focal_x * inv_z)[:, None] * R_wv[0][None] \
+        - (focal_x * tx * inv_z2)[:, None] * R_wv[2][None]   # (N,3)
+    t1 = (focal_y * inv_z)[:, None] * R_wv[1][None] \
+        - (focal_y * ty * inv_z2)[:, None] * R_wv[2][None]
+
+    R = quat_to_matrix(quats)  # (N,3,3), elementwise construction
+    # U[i,k] = s_k * sum_j t_i[j] R[j,k] — elementwise mul + axis reduce
+    u0 = (t0[:, :, None] * R).sum(1) * scales  # (N,3)
+    u1 = (t1[:, :, None] * R).sum(1) * scales
+
+    a = (u0 * u0).sum(-1) + 0.3
+    b = (u0 * u1).sum(-1)
+    c = (u1 * u1).sum(-1) + 0.3
+
+    det = a * c - b * b
+    det_safe = jnp.where(det > 0, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conics = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], -1)
+
+    mid = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    lambda1 = mid + disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+
+    in_front = depths > near
+    on_screen = (
+        (means2d[:, 0] + radius_f > 0)
+        & (means2d[:, 0] - radius_f < W)
+        & (means2d[:, 1] + radius_f > 0)
+        & (means2d[:, 1] - radius_f < H)
+    )
+    valid = in_front & (det > 0) & on_screen
+    radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    return ProjectedGaussians(means2d, depths, conics, radii, valid)

@@ -34,7 +34,12 @@ from ..cameras import GSCameraInfo
 from ..sh import sh_to_rgb
 from .binning import bin_gaussians
 from .blend import BlendOutput, blend_tiles
-from .projection import ProjectedGaussians, compute_cov3d, project_gaussians
+from .projection import (
+    ProjectedGaussians,
+    compute_cov3d,
+    project_gaussians,
+    project_gaussians_sq,
+)
 
 
 class RasterizeOutput(NamedTuple):
@@ -92,19 +97,25 @@ def rasterize(
     screen positions — take grads w.r.t. it to obtain the screen-space
     positional gradients that drive densification (the reference's
     ``screenspace_points`` trick, diff_sugar_rasterizer_normal.py:101-111)."""
-    if cov3d is None:
-        assert scales is not None and quats is not None
-        cov3d = compute_cov3d(scales, quats)
     if colors is None:
         assert sh is not None
         dirs = means3d - camera.camera_center[None, :]
         dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-8)
         colors = sh_to_rgb(sh_degree, sh, dirs)
 
-    proj = project_gaussians(
-        means3d, cov3d, camera.world_view_transform, camera.full_proj_transform,
-        cfg.tan_fovx, cfg.tan_fovy, cfg.width, cfg.height, cfg.near,
-    )
+    if cov3d is None:
+        assert scales is not None and quats is not None
+        # matmul-free covariance path (see project_gaussians_sq docstring)
+        proj = project_gaussians_sq(
+            means3d, scales, quats, camera.world_view_transform,
+            camera.full_proj_transform, cfg.tan_fovx, cfg.tan_fovy,
+            cfg.width, cfg.height, cfg.near,
+        )
+    else:
+        proj = project_gaussians(
+            means3d, cov3d, camera.world_view_transform, camera.full_proj_transform,
+            cfg.tan_fovx, cfg.tan_fovy, cfg.width, cfg.height, cfg.near,
+        )
     if means2d_offset is not None:
         proj = proj._replace(means2d=proj.means2d + means2d_offset)
     return _rasterize_projected(proj, colors, opacities, cfg, background)
