@@ -181,6 +181,41 @@ class RandomCameraSampler:
             "width": cfg.width,
         }
 
+    def mask_ray_directions(self, H: int, W: int, s_H: int, s_W: int) -> np.ndarray:
+        """Flat pixel indices of an (s_H, s_W) stride grid with a random
+        offset over the (H, W) image — the ``uncond_eff`` efficiency mask
+        (threestudio/utils/ops.py:220-246): train at high resolution while
+        marching only s_H*s_W rays, denser toward the inner 3/4 crop."""
+        rng = self.rng
+        xs = np.linspace(0, 0.75 * W, s_W).astype(np.int64)
+        ys = np.linspace(0, 0.75 * H, s_H).astype(np.int64)
+        off_x = rng.randint(0, W // 8 + 1)
+        off_y = rng.randint(0, H // 8 + 1)
+        gx, gy = np.meshgrid(xs + off_x, ys + off_y, indexing="xy")
+        return (gy * W + gx).reshape(-1)
+
+    def sample_efficient(self, sample_height: int, sample_width: int,
+                         batch_size: Optional[int] = None) -> dict:
+        """``uncond_eff``-style batch (threestudio/data/uncond_eff.py:66-180):
+        cameras at full (height, width) resolution, but rays subsampled to a
+        (sample_height, sample_width) offset grid — `ray_indices` maps them
+        back into the full image for supervision crops."""
+        cfg = self.cfg
+        batch = self.sample(batch_size)
+        H, W = cfg.height, cfg.width
+        idx = self.mask_ray_directions(H, W, sample_height, sample_width)
+        B = batch["rays_o"].shape[0]
+        ro = batch["rays_o"].reshape(B, H * W, 3)[:, idx].reshape(
+            B, sample_height, sample_width, 3)
+        rd = batch["rays_d"].reshape(B, H * W, 3)[:, idx].reshape(
+            B, sample_height, sample_width, 3)
+        batch.update({
+            "rays_o": ro, "rays_d": rd,
+            "ray_indices": jnp.asarray(idx, jnp.int32),
+            "sample_height": sample_height, "sample_width": sample_width,
+        })
+        return batch
+
     def orbit(self, n_views: Optional[int] = None, height: Optional[int] = None,
               width: Optional[int] = None) -> dict:
         """Deterministic evaluation orbit (uncond.py:347-467)."""
