@@ -52,10 +52,11 @@ class RasterizeOutput(NamedTuple):
 class RasterizerConfig(NamedTuple):
     """Static rasterization settings (shapes baked into the jitted step).
 
-    backend: "pallas" = TPU kernel with count-bounded loops + early
-    termination (pallas_blend.py); "xla" = pure-XLA chunked scan (blend.py,
-    also the CPU fallback).  ``interpret`` runs the Pallas kernel in
-    interpreter mode (CPU testing)."""
+    backend: "pallas_resident" = VMEM-resident row table + per-tile pair
+    segments (pallas_resident.py; fastest, default in configs);
+    "pallas" = (T, K)-table TPU kernel (pallas_blend.py); "xla" = pure-XLA
+    chunked scan (blend.py, also the CPU fallback).  ``interpret`` runs the
+    Pallas kernels in interpreter mode (CPU testing)."""
 
     width: int
     height: int
