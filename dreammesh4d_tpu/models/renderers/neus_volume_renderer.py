@@ -114,6 +114,8 @@ def render_rays_neus(
         "opacity": opacity,
         "depth": depth,
         "weights": weights,
+        "normal": normal,
+        "t_dirs": jnp.broadcast_to(rays_d[:, None], normal.shape),
         "sdf": sdf,
         "inv_std": inv_s,
         "eikonal": eik,

@@ -317,3 +317,84 @@ def make_magic3d_refine_train_step(
 class Magic3DSystem:
     def __init__(self, cfg):
         self.cfg = cfg
+
+
+# ---------------------------------------------------------------------------
+# textmesh-system (threestudio/systems/textmesh.py:40-90)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TextMeshLosses:
+    lambda_sds: Any = 1.0
+    lambda_orient: Any = field(default_factory=lambda: [0, 10.0, 1000.0, 5000])
+    lambda_sparsity: Any = 1.0
+    lambda_opaque: Any = 0.0
+    lambda_eikonal: Any = 1000.0
+
+
+def make_textmesh_train_step(
+    geo_cfg,
+    rcfg,
+    optimizer: optax.GradientTransformation,
+    losses: TextMeshLosses,
+    guidance_fn: Callable,
+    bg_color=(1.0, 1.0, 1.0),
+):
+    """Text-to-mesh: SDS on a NeuS-rendered implicit-SDF plus the eikonal
+    regularizer (textmesh.py:75-80).  The optimized state carries
+    ``{"geo": sdf params, "var": neus variance}``; the surface exports via
+    implicit_sdf.export_sdf_grid + the mc-cpu isosurface path."""
+    from ..models.renderers.neus_volume_renderer import render_rays_neus
+
+    bg = jnp.asarray(bg_color, jnp.float32)
+
+    def loss_fn(params, batch, rng, step):
+        k_r, k_g = jax.random.split(rng)
+        B, H, W = batch["rays_o"].shape[:3]
+        ro = batch["rays_o"].reshape(-1, 3)
+        rd = batch["rays_d"].reshape(-1, 3)
+        out = render_rays_neus(params["geo"], params["var"], geo_cfg, rcfg,
+                               ro, rd, bg, k_r)
+        rgb = out["comp_rgb"].reshape(B, H, W, 3)
+        terms: Dict[str, jnp.ndarray] = {
+            "sds": guidance_fn(k_g, rgb, batch),
+            "eikonal": out["eikonal"],
+        }
+        w_det = jax.lax.stop_gradient(out["weights"])
+        ndotd = (out["normal"] * out["t_dirs"]).sum(-1)
+        n_opaque = jnp.maximum((out["opacity"] > 0).sum(), 1)
+        terms["orient"] = (w_det * jnp.clip(ndotd, 0.0) ** 2).sum() / n_opaque
+        terms["sparsity"] = jnp.sqrt(out["opacity"] ** 2 + 0.01).mean()
+        oc = jnp.clip(out["opacity"], 1e-3, 1 - 1e-3)
+        terms["opaque"] = -(oc * jnp.log(oc) + (1 - oc) * jnp.log(1 - oc)).mean()
+        return _total(terms, {
+            "sds": losses.lambda_sds, "eikonal": losses.lambda_eikonal,
+            "orient": losses.lambda_orient, "sparsity": losses.lambda_sparsity,
+            "opaque": losses.lambda_opaque,
+        }, step)
+
+    @jax.jit
+    def train_step(state: SceneTrainState, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.geo_params, batch, rng, state.step)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.geo_params)
+        return (SceneTrainState(optax.apply_updates(state.geo_params, updates),
+                                opt_state, state.step + 1), metrics)
+
+    return train_step
+
+
+@ds.register("textmesh-system")
+class TextMeshSystem:
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+
+@ds.register("zero123-simple-system")
+class Zero123SimpleSystem:
+    """Simplified zero123 (threestudio/systems/zero123_simple.py) — shares
+    the zero123_system train-step factory; registered for config parity."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg

@@ -143,3 +143,32 @@ def test_sjc_emptiness_and_depth_losses():
         assert np.isfinite(float(m[key])), key
     # emptiness is a positive log penalty on weights
     assert float(m["loss_emptiness"]) >= 0
+
+
+def test_textmesh_neus_sds_with_eikonal():
+    import optax
+    from dreammesh4d_tpu.models.geometry.implicit_sdf import (
+        ImplicitSDFConfig, init_implicit_sdf)
+    from dreammesh4d_tpu.models.renderers.neus_volume_renderer import (
+        NeuSRendererConfig, init_neus_variance)
+    from dreammesh4d_tpu.systems.threestudio_zoo2 import (
+        TextMeshLosses, make_textmesh_train_step)
+
+    gcfg = ImplicitSDFConfig(radius=1.0,
+                             hashgrid=HashGridConfig(n_levels=2, log2_hashmap_size=8),
+                             n_neurons=8, n_hidden_layers=1)
+    rcfg = NeuSRendererConfig(num_samples_coarse=12, num_samples_fine=0, radius=1.0)
+    params = {
+        "geo": init_implicit_sdf(gcfg, jax.random.PRNGKey(0)),
+        "var": init_neus_variance(rcfg),
+    }
+    opt = optax.adam(1e-3)
+    step = make_textmesh_train_step(gcfg, rcfg, opt, TextMeshLosses(),
+                                    lambda k, rgb, b: ((rgb - 0.5) ** 2).mean())
+    state = init_scene_state(params, opt)
+    s1, m = step(state, _ray_batch(), jax.random.PRNGKey(0))
+    for key in ("loss_sds", "loss_eikonal", "loss_total"):
+        assert np.isfinite(float(m[key])), key
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).sum()),
+                               state.geo_params, s1.geo_params)
+    assert sum(jax.tree_util.tree_leaves(d)) > 0
