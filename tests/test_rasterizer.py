@@ -282,3 +282,48 @@ def test_vmap_over_cameras():
     imgs = jax.vmap(render_one)(wv, fp, cc)
     assert imgs.shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(imgs)).all()
+
+
+def test_projection_sq_matches_matmul_path():
+    # the matmul-free covariance path must agree with the reference-style
+    # R S S^T R^T formulation to float precision, values and gradients
+    import jax
+    from dreammesh4d_tpu.ops.cameras import (
+        camera_position_from_spherical, get_cam_info_gaussian, look_at_c2w)
+    from dreammesh4d_tpu.ops.gs.projection import (
+        compute_cov3d, project_gaussians, project_gaussians_sq)
+    from dreammesh4d_tpu.ops.quaternion import quat_normalize
+
+    N = 256
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    p = jax.random.normal(k[0], (N, 3)) * 0.5
+    quats = quat_normalize(jax.random.normal(k[1], (N, 4)))
+    scales = 0.02 * jnp.exp(0.3 * jax.random.normal(k[2], (N, 3)))
+    pos = camera_position_from_spherical(jnp.asarray(20.0), jnp.asarray(40.0), jnp.asarray(2.5))
+    cam = get_cam_info_gaussian(look_at_c2w(pos), 0.7, 0.7, 0.01, 100.0)
+
+    a = project_gaussians(p, compute_cov3d(scales, quats),
+                          cam.world_view_transform, cam.full_proj_transform,
+                          0.36, 0.36, 128, 128)
+    b = project_gaussians_sq(p, scales, quats,
+                             cam.world_view_transform, cam.full_proj_transform,
+                             0.36, 0.36, 128, 128)
+    np.testing.assert_allclose(np.asarray(a.means2d), np.asarray(b.means2d), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.conics), np.asarray(b.conics), rtol=2e-4, atol=1e-3)
+    assert np.array_equal(np.asarray(a.radii), np.asarray(b.radii))
+    assert np.array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+    def loss_a(s, q):
+        pr = project_gaussians(p, compute_cov3d(s, q), cam.world_view_transform,
+                               cam.full_proj_transform, 0.36, 0.36, 128, 128)
+        return (pr.conics * pr.mask[:, None]).sum()
+
+    def loss_b(s, q):
+        pr = project_gaussians_sq(p, s, q, cam.world_view_transform,
+                                  cam.full_proj_transform, 0.36, 0.36, 128, 128)
+        return (pr.conics * pr.mask[:, None]).sum()
+
+    ga = jax.grad(loss_a, argnums=(0, 1))(scales, quats)
+    gb = jax.grad(loss_b, argnums=(0, 1))(scales, quats)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-2)
