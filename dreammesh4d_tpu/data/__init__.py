@@ -1,1 +1,1 @@
-from . import image, multiview, temporal_image, uncond  # noqa: F401
+from . import co3d, image, multiview, temporal_image, uncond  # noqa: F401

@@ -1,3 +1,11 @@
-"""Diffusion guidance (Zero123 SDS, Stable Diffusion SDS)."""
+"""Diffusion guidance (Zero123 SDS/VSD, Stable Diffusion SDS/VSD, editing)."""
 
-from . import stable_diffusion, zero123  # noqa: F401
+from . import (  # noqa: F401
+    controlnet,
+    deep_floyd,
+    instructpix2pix,
+    stable_diffusion,
+    unified,
+    vsd,
+    zero123,
+)

@@ -254,3 +254,48 @@ def _sh_basis(deg: int, dirs: jnp.ndarray) -> jnp.ndarray:
     eye = jnp.eye(n)[None]  # (1, n, n) "coefficients" picking each basis fn
     eye = jnp.broadcast_to(eye, dirs.shape[:-1] + (n, n))
     return eval_sh(deg, eye, dirs)
+
+
+@ds.register("hybrid-rgb-latent-material")
+@dataclass
+class HybridRGBLatentMaterial:
+    """Geometry features carry RGB (first 3 dims, activated) + raw latent
+    channels (passed through) — the latent-NeRF hybrid decoding
+    (threestudio/models/materials/hybrid_rgb_latent_material.py:15-36)."""
+
+    n_output_dims: int = 3
+    color_activation: str = "sigmoid"
+    requires_normal: bool = True
+
+    def __call__(self, features: jnp.ndarray, **kwargs) -> jnp.ndarray:
+        from ..utils.misc import get_activation
+
+        rgb = get_activation(self.color_activation)(features[..., :3])
+        return jnp.concatenate([rgb, features[..., 3:]], axis=-1)
+
+
+# fixed linear latent->RGB decode used for previewing SD latents
+# (sd_latent_adapter_material.py:21-33); a learnable parameter there, so
+# expose init_params to make it trainable here too.
+_SD_LATENT_ADAPTER = (
+    (0.298, 0.207, 0.208),
+    (0.187, 0.286, 0.173),
+    (-0.158, 0.189, 0.264),
+    (-0.184, -0.271, -0.473),
+)
+
+
+@ds.register("sd-latent-adapter-material")
+@dataclass
+class SDLatentAdapterMaterial:
+    """4-channel SD latent -> approximate RGB via a (trainable) 4x3 adapter
+    (sd_latent_adapter_material.py:14-42)."""
+
+    def init_params(self, rng: jax.Array | None = None) -> dict:
+        return {"adapter": jnp.asarray(_SD_LATENT_ADAPTER, jnp.float32)}
+
+    def __call__(self, features: jnp.ndarray, params: Optional[dict] = None,
+                 **kwargs) -> jnp.ndarray:
+        adapter = (params or self.init_params())["adapter"]
+        color = features[..., :4] @ adapter
+        return jnp.clip((color + 1.0) / 2.0, 0.0, 1.0)

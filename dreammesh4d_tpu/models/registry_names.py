@@ -45,9 +45,23 @@ def register_reference_names() -> None:
     _bind("diff-sugar-rasterizer-shading", _sr)
     _bind("nerf-volume-renderer", _nvr)
 
+    from ..models.geometry import custom_mesh as _cmesh
+    from ..models.geometry import dmtet as _dmtet
+    from ..models.geometry import volume_grid as _vgrid
+    from ..export import gaussian_io as _gio
+    from ..utils import perceptual as _perc
+
+    _bind("custom-mesh", _cmesh)
+    _bind("tetrahedra-sdf-grid", _dmtet)
+    _bind("volume-grid", _vgrid)
+    _bind("gaussian-splatting-io", _gio)
+    _bind("perceptual-loss", _perc)
+
     # exporters (threestudio/models/exporters + custom/.../geometry/exporter)
     _bind("mesh-exporter", _iso)
     _bind("gaussian-mesh-exporter", _tb)
+    # dummy-exporter (threestudio/models/exporters/base.py:55-64): no-op
+    _bind("dummy-exporter", lambda *a, **k: [])
 
 
 register_reference_names()

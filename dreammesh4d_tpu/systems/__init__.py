@@ -1,1 +1,8 @@
-from . import sugar_4dgen, sugar_static, zero123_system  # noqa: F401
+from . import (  # noqa: F401
+    editing,
+    sugar_4dgen,
+    sugar_static,
+    threestudio_zoo,
+    threestudio_zoo2,
+    zero123_system,
+)

@@ -213,6 +213,7 @@ def make_control4d_train_step(
     return train_step
 
 
+@ds.register("control4d-multiview-system")  # reference name (control4d_multiview.py:21)
 @ds.register("control4d-system")
 class Control4DSystem:
     def __init__(self, cfg):

@@ -68,6 +68,8 @@ class DreamFusionLosses:
     lambda_orient: Any = field(default_factory=lambda: [0, 10.0, 1000.0, 5000])
     lambda_sparsity: Any = 1.0
     lambda_opaque: Any = 0.0
+    # HiFA z-variance hook (eff_dreamfusion.py:96-99); 0 disables
+    lambda_z_variance: Any = 0.0
 
 
 class SceneTrainState(NamedTuple):
@@ -289,3 +291,93 @@ def make_magic123_train_step(
 class Magic123System:
     def __init__(self, cfg):
         self.cfg = cfg
+
+
+# ---------------------------------------------------------------------------
+# efficient-dreamfusion-system (subsampled-ray SDS)
+# ---------------------------------------------------------------------------
+
+
+def make_eff_dreamfusion_train_step(
+    geo_cfg: ImplicitVolumeConfig,
+    rcfg: NeRFRendererConfig,
+    optimizer: optax.GradientTransformation,
+    losses: DreamFusionLosses,
+    guidance_fn: Callable,
+    full_hw: int,
+    material=None,
+    bg_color=(1.0, 1.0, 1.0),
+):
+    """Efficiency variant (threestudio/systems/eff_dreamfusion.py:16-104):
+    only a strided subgrid of rays is rendered (the ``uncond_eff`` sampler,
+    data/uncond.py sample_efficient) and the low-res render is bilinearly
+    upsampled back to ``full_hw`` before SDS — the reference's ``unmask``
+    grid_sample with a regular stride mask reduces to exactly this resize.
+    Regularizers act on the rendered (subsampled) rays; an optional
+    z-variance term (HiFA) matches the reference's extra loss hook."""
+    bg = jnp.asarray(bg_color, jnp.float32)
+
+    def loss_fn(geo_params, batch, rng, step):
+        k_r, k_g = jax.random.split(rng)
+        B, sH, sW = batch["rays_o"].shape[:3]
+        ro = batch["rays_o"].reshape(-1, 3)
+        rd = batch["rays_d"].reshape(-1, 3)
+        lp = jnp.repeat(batch["light_positions"], sH * sW, axis=0)
+        out = render_rays(geo_params, geo_cfg, rcfg, ro, rd, lp, bg, k_r,
+                          material=material)
+        low = out["comp_rgb"].reshape(B, sH, sW, 3)
+        rgb = jax.image.resize(low, (B, full_hw, full_hw, 3), "bilinear")
+        terms: Dict[str, jnp.ndarray] = {"sds": guidance_fn(k_g, rgb, batch)}
+        _regularizers(out, terms)
+        weights = {
+            "sds": losses.lambda_sds, "orient": losses.lambda_orient,
+            "sparsity": losses.lambda_sparsity, "opaque": losses.lambda_opaque,
+        }
+        if "z_variance" in out and getattr(losses, "lambda_z_variance", 0.0):
+            zmask = (out["opacity"].reshape(-1) > 0.5).astype(jnp.float32)
+            terms["z_variance"] = (out["z_variance"].reshape(-1) * zmask).sum() / \
+                jnp.maximum(zmask.sum(), 1.0)
+            weights["z_variance"] = losses.lambda_z_variance
+        return _total(terms, weights, step)
+
+    @jax.jit
+    def train_step(state: SceneTrainState, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.geo_params, batch, rng, state.step)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.geo_params)
+        return (SceneTrainState(optax.apply_updates(state.geo_params, updates),
+                                opt_state, state.step + 1), metrics)
+
+    return train_step
+
+
+@ds.register("efficient-dreamfusion-system")
+class EfficientDreamFusionSystem:
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+
+# ---------------------------------------------------------------------------
+# image-condition-dreamfusion-system (single ref image + text SDS)
+# ---------------------------------------------------------------------------
+
+
+@ds.register("image-condition-dreamfusion-system")
+class ImageConditionDreamFusionSystem:
+    """Reference-image supervision (rgb/mask on the ref camera, the zero123
+    ref-loss family) + a single text-conditioned SDS on random cameras
+    (threestudio/systems/imagedreamfusion.py:16-290).  The train step is the
+    magic123 factory with the 3D guidance slot unused — the loss surface is
+    identical with ``lambda_sds_3d = 0``."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    @staticmethod
+    def make_train_step(geo_cfg, rcfg, optimizer, losses: "Magic123Losses",
+                        guidance_fn: Callable, material=None,
+                        bg_color=(1.0, 1.0, 1.0)):
+        return make_magic123_train_step(
+            geo_cfg, rcfg, optimizer, losses,
+            guidance_2d_fn=guidance_fn, guidance_3d_fn=None,
+            material=material, bg_color=bg_color)

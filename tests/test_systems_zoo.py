@@ -127,3 +127,48 @@ def test_magic123_joint_guidance_and_ref():
     assert calls["g2"] == 1 and calls["g3"] == 1  # traced once each
     for key in ("loss_sds_2d", "loss_sds_3d", "loss_rgb", "loss_mask", "loss_total"):
         assert np.isfinite(float(m[key])), key
+
+
+def test_eff_dreamfusion_upsamples_before_sds():
+    from dreammesh4d_tpu.systems.threestudio_zoo import make_eff_dreamfusion_train_step
+
+    cfg, params, rcfg = _geo()
+    opt = optax.adam(1e-2)
+    seen_shapes = []
+
+    def guidance(k, rgb, batch):
+        seen_shapes.append(rgb.shape)
+        return ((rgb - 0.5) ** 2).mean()
+
+    step = make_eff_dreamfusion_train_step(
+        cfg, rcfg, opt, DreamFusionLosses(), guidance_fn=guidance, full_hw=2 * HW)
+    state = init_scene_state(params, opt)
+    s1, m1 = step(state, _rand_batch(), jax.random.PRNGKey(0))
+    # the guidance saw the bilinearly-upsampled full resolution, not HW
+    assert seen_shapes[0][1:3] == (2 * HW, 2 * HW)
+    assert np.isfinite(float(m1["loss_total"]))
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).sum()),
+                               state.geo_params, s1.geo_params)
+    assert sum(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_image_condition_dreamfusion_is_magic123_with_2d_only():
+    from dreammesh4d_tpu.systems.threestudio_zoo import ImageConditionDreamFusionSystem
+
+    cfg, params, rcfg = _geo()
+    opt = optax.adam(1e-2)
+    step = ImageConditionDreamFusionSystem.make_train_step(
+        cfg, rcfg, opt, Magic123Losses(), guidance_fn=_guidance)
+    state = init_scene_state(params, opt)
+    batch = _rand_batch()
+    R = 7
+    batch.update({
+        "ref_rays_o": jnp.zeros((R, 3)) + jnp.array([0.0, 0.0, 2.0]),
+        "ref_rays_d": jnp.concatenate([jnp.zeros((R, 2)), -jnp.ones((R, 1))], -1),
+        "ref_rgb": jnp.full((R, 3), 0.3),
+        "ref_mask": jnp.ones((R, 1)),
+        "ref_light": jnp.array([0.0, 0.0, 2.0]),
+    })
+    s1, m1 = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m1["loss_total"]))
+    assert "loss_sds_2d" in m1 and "loss_rgb" in m1
