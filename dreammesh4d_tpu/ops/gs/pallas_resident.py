@@ -181,11 +181,104 @@ def _bwd_kernel(n_channels: int, cap: int, group: int,
     jax.lax.while_loop(cond, body, (0, trans0, gpre0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _bwd_kernel_accum(n_channels: int, cap: int, group: int,
+                      counts_ref, starts_ref, tiles_x_ref,
+                      table_ref, pairs_hbm, fwd_out_ref, cot_ref,
+                      grads_ref, idx_smem, sem):
+    """Backward replay that accumulates per-GAUSSIAN gradients directly into
+    a VMEM-resident (N+1, ROW) table instead of emitting per-pair rows.
+
+    The TPU pallas grid is sequential, and a gaussian appears at most once
+    per tile, so the read-modify-write on ``grads_ref`` rows is race-free.
+    This removes the whole post-kernel reduction (permutation sort + M
+    row-gathers over the (T·cap, ROW) buffer — the largest block in the
+    fwd+bwd profile) at the cost of ``group`` indexed row updates per group,
+    symmetric to the indexed row reads the kernel already does."""
+    px, py = _pixel_grid(tiles_x_ref)
+    t = pl.program_id(0)
+    count = jnp.minimum(counts_ref[t], cap)
+    start = starts_ref[t]
+    C = n_channels
+
+    @pl.when(t == 0)
+    def _init():
+        grads_ref[...] = jnp.zeros_like(grads_ref)
+
+    start_al = (start // ALIGN) * ALIGN
+    base = start - start_al
+    dma = pltpu.make_async_copy(
+        pairs_hbm.at[pl.ds(start_al, cap + ALIGN)], idx_smem, sem
+    )
+    dma.start()
+    dma.wait()
+
+    c_total_dot_g = jnp.sum(
+        fwd_out_ref[0, :C, :] * cot_ref[0, :C, :], axis=0, keepdims=True
+    )
+    t_final = fwd_out_ref[0, C:C + 1, :]
+    g_col = cot_ref[0, :C, :]
+    g_T = cot_ref[0, C:C + 1, :]
+    n_groups = pl.cdiv(count, group)
+
+    def body(carry):
+        g, trans, gdot_cpre = carry
+        g0 = g * group
+        rows = _read_group_rows(table_ref, idx_smem, base, g0, group)
+        alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
+        t_excl, t_out = _exclusive_transmittance(alpha, trans)
+        w = alpha * t_excl
+        cols = rows[:, 5:5 + C]
+
+        gdotc = jax.lax.dot_general(
+            cols, g_col, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        contrib = gdotc * w
+        prefix = gdot_cpre + jax.lax.dot_general(
+            _tri_incl(group), contrib, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+        d_alpha = (
+            t_excl * gdotc - (c_total_dot_g - prefix) / one_m - g_T * t_final / one_m
+        )
+        d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
+        d_raw = jnp.where(clamped, 0.0, d_alpha)
+        d_power = d_raw * alpha
+        d_op = jnp.sum(d_raw * jnp.exp(power) * live.astype(jnp.float32),
+                       axis=1, keepdims=True)
+        ca = rows[:, 2:3]; cb = rows[:, 3:4]; cc = rows[:, 4:5]
+        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1, keepdims=True)
+        d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
+        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
+        d_mx = jnp.sum(d_power * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
+        d_my = jnp.sum(d_power * (-(cc * dy + cb * dx)), axis=1, keepdims=True)
+        d_col = jax.lax.dot_general(
+            w, g_col, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        pad = jnp.zeros((group, OP_COL - 5 - C), jnp.float32)
+        tail = jnp.zeros((group, ROW - OP_COL - 1), jnp.float32)
+        grad_rows = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_col, pad, d_op, tail], axis=1
+        )
+        for j in range(group):
+            idx = idx_smem[base + g0 + j]
+            grads_ref[idx, :] = grads_ref[idx, :] + grad_rows[j, :]
+        return g + 1, t_out, prefix[group - 1:group, :]
+
+    def cond(carry):
+        g, trans, _ = carry
+        return jnp.logical_and(g < n_groups, jnp.max(trans) > T_EPS)
+
+    trans0 = jnp.ones((1, P), jnp.float32)
+    gpre0 = jnp.zeros((1, P), jnp.float32)
+    jax.lax.while_loop(cond, body, (0, trans0, gpre0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def blend_pairs_pallas(
     sorted_gauss, starts_counts, means2d, conics_colors, opacities,
     W: int, H: int, n_channels: int, cap: int, interpret: bool,
-    group: int = GROUP,
+    group: int = GROUP, bwd_accum: bool = True,
 ):
     """starts_counts = (starts, counts, sorted_tile, sorted_origpos)."""
     out, _ = _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors,
@@ -229,9 +322,58 @@ def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
 
 
 def _fwd_rule(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
-              W, H, n_channels, cap, interpret, group):
+              W, H, n_channels, cap, interpret, group, bwd_accum):
     return _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors,
                      opacities, W, H, n_channels, cap, interpret, group)
+
+
+def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, res, cot):
+    """In-kernel per-gaussian accumulation: the kernel's output IS the
+    (N+1, ROW) gradient table — no permutation sort, no row-gathers."""
+    (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
+     conics, colors, opacities, rows, pairs, fwd_out) = res
+    T = starts.shape[0]
+    C = n_channels
+    N = means2d.shape[0]
+    tiles_x = (W + TILE - 1) // TILE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # row table
+            pl.BlockSpec(memory_space=pl.ANY),  # pair indices
+            pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        # full-size accumulator revisited by every grid step (sequential grid)
+        out_specs=pl.BlockSpec((N + 1, ROW), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((cap + 1024,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    acc = pl.pallas_call(
+        functools.partial(_bwd_kernel_accum, C, cap, group),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N + 1, ROW), jnp.float32),
+        interpret=interpret,
+    )(counts.astype(jnp.int32), starts.astype(jnp.int32),
+      jnp.asarray([tiles_x], jnp.int32), rows, pairs, fwd_out, cot)
+
+    d_means2d = acc[:N, 0:2]
+    d_conics = acc[:N, 2:5]
+    d_colors = acc[:N, 5:5 + C]
+    d_opac = acc[:N, OP_COL]
+    return None, None, d_means2d, (d_conics, d_colors), d_opac
+
+
+def _bwd_rule_dispatch(W, H, n_channels, cap, interpret, group, bwd_accum,
+                       res, cot):
+    if bwd_accum:
+        return _bwd_rule_accum(W, H, n_channels, cap, interpret, group, res, cot)
+    return _bwd_rule(W, H, n_channels, cap, interpret, group, res, cot)
 
 
 def _bwd_rule(W, H, n_channels, cap, interpret, group, res, cot):
@@ -306,7 +448,7 @@ def _bwd_rule(W, H, n_channels, cap, interpret, group, res, cot):
     return None, None, d_means2d, (d_conics, d_colors), d_opac
 
 
-blend_pairs_pallas.defvjp(_fwd_rule, _bwd_rule)
+blend_pairs_pallas.defvjp(_fwd_rule, _bwd_rule_dispatch)
 
 
 def blend_image_resident(
@@ -322,6 +464,7 @@ def blend_image_resident(
     cap: int = 1024,
     interpret: bool = False,
     group: int = GROUP,
+    bwd_accum: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full-image blend through the resident kernel (same outputs/contract as
     pallas_blend.blend_image_pallas)."""
@@ -334,6 +477,7 @@ def blend_image_resident(
     out = blend_pairs_pallas(
         pa.sorted_gauss, (pa.starts, pa.counts, pa.sorted_tile, pa.sorted_origpos),
         means2d, (conics, colors_aug), opacities, W, H, C, cap, interpret, group,
+        bwd_accum,
     )
     acc = out[:, :C, :]
     t_final = out[:, C, :]

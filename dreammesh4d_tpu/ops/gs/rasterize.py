@@ -74,6 +74,10 @@ class RasterizerConfig(NamedTuple):
     # group of work per sparse tile (measured 4x SLOWER on the 30k-gaussian
     # training step).
     group: int = 0
+    # resident backend: accumulate per-gaussian grads inside the backward
+    # kernel (VMEM (N+1,16) table) instead of emitting per-pair rows and
+    # reducing with a sort + M row-gathers.
+    bwd_accum: bool = True
 
 
 def rasterize(
@@ -155,6 +159,7 @@ def _rasterize_projected(
             colors, opacities, proj.depths, cfg.width, cfg.height, background,
             cap=cfg.tile_capacity, interpret=cfg.interpret,
             group=_auto_group(cfg, proj.means2d.shape[0]),
+            bwd_accum=cfg.bwd_accum,
         )
         return RasterizeOutput(rgb, proj.radii, depth, alpha)
     assign = bin_gaussians(

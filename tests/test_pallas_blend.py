@@ -171,3 +171,35 @@ def test_resident_gradients_match_xla():
         assert np.isfinite(b).all(), k
         denom = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / denom, a / denom, atol=3e-3, err_msg=k)
+
+
+def test_resident_bwd_accum_matches_reduction():
+    """The in-kernel per-gaussian accumulator backward must produce the same
+    gradients as the sort+gather reduction (both interpret-mode)."""
+    scene = make_scene(N=60, seed=3)
+    p, quats, scales, colors, opac, cam = scene
+    t = float(np.tan(FOV / 2))
+    base = dict(width=32, height=32, tan_fovx=t, tan_fovy=t, tile_capacity=256,
+                chunk=32, backend="pallas_resident", interpret=True)
+    cfg_a = RasterizerConfig(**base, bwd_accum=True)
+    cfg_b = RasterizerConfig(**base, bwd_accum=False)
+    bg = jnp.asarray([0.0, 0.0, 0.0])
+    target = jnp.full((32, 32, 3), 0.25)
+
+    def loss(cfg, params):
+        out = rasterize(
+            params["p"], jax.nn.sigmoid(params["ol"]), cam, cfg, bg,
+            colors=jax.nn.sigmoid(params["c"]), scales=jnp.exp(params["ls"]),
+            quats=params["q"],
+        )
+        return ((out.rgb - target) ** 2).mean() + 0.1 * out.depth.mean()
+
+    params = {
+        "p": p, "q": quats, "ls": jnp.log(scales),
+        "c": jnp.log(colors / (1 - colors + 1e-6)), "ol": jnp.full((60,), 0.5),
+    }
+    ga = jax.grad(lambda pr: loss(cfg_a, pr))(params)
+    gb = jax.grad(lambda pr: loss(cfg_b, pr))(params)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]),
+                                   atol=1e-5, err_msg=k)
