@@ -134,6 +134,7 @@ def bin_gaussians_pairs(
     H: int,
     max_tiles_per_gaussian: int = 16,
     depth_bits: int = 20,
+    need_origpos: bool = True,
 ) -> PairAssignment:
     """Pair-array binning with QUANTIZED-depth packed keys.
 
@@ -175,14 +176,20 @@ def bin_gaussians_pairs(
     tile_ids = jnp.where(pair_valid, (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx), T)
     keys = ((tile_ids << depth_bits) | qdepth[:, None]).reshape(-1)
     gauss = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, M)).reshape(-1)
-    origpos = jax.lax.broadcasted_iota(jnp.int32, (N * M, 1), 0)[:, 0]
-
-    sorted_keys, sorted_gauss, sorted_origpos = jax.lax.sort(
-        (keys, gauss, origpos), num_keys=1
-    )
+    if need_origpos:
+        # third operand rides the sort so the backward's sort+gather
+        # reduction can invert the binning permutation
+        origpos = jax.lax.broadcasted_iota(jnp.int32, (N * M, 1), 0)[:, 0]
+        sorted_keys, sorted_gauss, sorted_origpos = jax.lax.sort(
+            (keys, gauss, origpos), num_keys=1
+        )
+        sorted_tile = sorted_keys >> depth_bits
+    else:
+        # in-kernel-accumulator backward: permutation inverse never needed
+        sorted_keys, sorted_gauss = jax.lax.sort((keys, gauss), num_keys=1)
+        sorted_origpos = sorted_tile = None
     # sentinel pairs (tile T) carry gauss id N for padded reads
     sorted_gauss = jnp.where(sorted_keys >= (T << depth_bits), N, sorted_gauss)
-    sorted_tile = sorted_keys >> depth_bits
 
     bounds = jnp.searchsorted(
         sorted_keys, (jnp.arange(T + 1, dtype=jnp.int32) << depth_bits), side="left"

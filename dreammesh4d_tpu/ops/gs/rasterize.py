@@ -153,6 +153,7 @@ def _rasterize_projected(
             jax.lax.stop_gradient(proj.means2d), proj.radii,
             jax.lax.stop_gradient(proj.depths), proj.mask,
             cfg.width, cfg.height, cfg.max_tiles_per_gaussian,
+            need_origpos=not cfg.bwd_accum,
         )
         rgb, alpha, depth = blend_image_resident(
             pa, proj.means2d, proj.conics,
