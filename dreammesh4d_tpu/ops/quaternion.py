@@ -17,21 +17,27 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils.typing import Array, Float, Int, shape_checked
 
-def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+
+@shape_checked
+def quat_normalize(q: Float[Array, "*b 4"], eps: float = 1e-12) -> Float[Array, "*b 4"]:
     return q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + eps)
 
 
-def quat_standardize(q: jnp.ndarray) -> jnp.ndarray:
+@shape_checked
+def quat_standardize(q: Float[Array, "*b 4"]) -> Float[Array, "*b 4"]:
     """Force w >= 0 (q and -q are the same rotation)."""
     return jnp.where(q[..., :1] < 0, -q, q)
 
 
-def quat_conjugate(q: jnp.ndarray) -> jnp.ndarray:
+@shape_checked
+def quat_conjugate(q: Float[Array, "*b 4"]) -> Float[Array, "*b 4"]:
     return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], q.dtype)
 
 
-def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+@shape_checked
+def quat_multiply(a: Float[Array, "*b 4"], b: Float[Array, "*b 4"]) -> Float[Array, "*b 4"]:
     """Hamilton product a ⊗ b (wxyz)."""
     aw, ax, ay, az = (a[..., i] for i in range(4))
     bw, bx, by, bz = (b[..., i] for i in range(4))
@@ -46,7 +52,8 @@ def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def quat_apply(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+@shape_checked
+def quat_apply(q: Float[Array, "*b 4"], p: Float[Array, "*b 3"]) -> Float[Array, "*b 3"]:
     """Rotate points p (...,3) by unit quaternions q (...,4).
 
     Uses the expanded form p' = p + 2 w (v × p) + 2 v × (v × p) — cheaper than
@@ -58,7 +65,8 @@ def quat_apply(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return p + 2.0 * (w * uv + uuv)
 
 
-def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+@shape_checked
+def quat_to_matrix(q: Float[Array, "*b 4"]) -> Float[Array, "*b 3 3"]:
     """Unit quaternion (wxyz) -> rotation matrix (...,3,3).  Matches the 3DGS
     ``build_rotation`` (gaussian_base.py covariance path) and pytorch3d."""
     w, x, y, z = (q[..., i] for i in range(4))
@@ -76,7 +84,8 @@ def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
     return m.reshape(q.shape[:-1] + (3, 3))
 
 
-def matrix_to_quat(m: jnp.ndarray) -> jnp.ndarray:
+@shape_checked
+def matrix_to_quat(m: Float[Array, "*b 3 3"]) -> Float[Array, "*b 4"]:
     """Rotation matrix (...,3,3) -> unit quaternion (wxyz), branch-free.
 
     Uses the standard four-candidate construction (as in pytorch3d
@@ -122,7 +131,8 @@ def matrix_to_quat(m: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def quat_log(q: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+@shape_checked
+def quat_log(q: Float[Array, "*b 4"], eps: float = 1e-8) -> Float[Array, "*b 3"]:
     """Log map: unit quaternion -> rotation vector (...,3) = axis * angle.
 
     Equivalent to pypose ``SO3.Log()`` (used in fuse_rotations,
@@ -138,7 +148,8 @@ def quat_log(q: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return v * (angle / vn)
 
 
-def quat_exp(rotvec: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+@shape_checked
+def quat_exp(rotvec: Float[Array, "*b 3"], eps: float = 1e-8) -> Float[Array, "*b 4"]:
     """Exp map: rotation vector (...,3) -> unit quaternion (wxyz).
     Smoothed-norm formulation (NaN-free gradient at rotvec = 0)."""
     angle = jnp.sqrt((rotvec * rotvec).sum(-1, keepdims=True) + eps * eps)
@@ -164,7 +175,8 @@ def fuse_rotations(neighbor_idx: jnp.ndarray, weights: jnp.ndarray, rotations: j
 # ---------------------------------------------------------------------------
 
 
-def dq_from_quat_translation(q_r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+@shape_checked
+def dq_from_quat_translation(q_r: Float[Array, "*b 4"], t: Float[Array, "*b 3"]) -> Float[Array, "*b 8"]:
     """σ = r + ε/2·t·r (reference dual_quaternions.py:115-131).  Returns
     (...,8) = concat(q_r wxyz, q_d wxyz)."""
     q_r = quat_normalize(q_r)
@@ -173,7 +185,8 @@ def dq_from_quat_translation(q_r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([q_r, q_d], -1)
 
 
-def dq_normalize(dq: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+@shape_checked
+def dq_normalize(dq: Float[Array, "*b 8"], eps: float = 1e-12) -> Float[Array, "*b 8"]:
     """Normalize so the real part is unit and real·dual = 0."""
     q_r, q_d = dq[..., :4], dq[..., 4:]
     n = jnp.linalg.norm(q_r, axis=-1, keepdims=True) + eps
@@ -185,14 +198,16 @@ def dq_normalize(dq: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return jnp.concatenate([q_r, q_d], -1)
 
 
-def dq_translation(dq: jnp.ndarray) -> jnp.ndarray:
+@shape_checked
+def dq_translation(dq: Float[Array, "*b 8"]) -> Float[Array, "*b 3"]:
     """t = 2 · q_d ⊗ conj(q_r) (vector part) — dual_quaternions.py:219-231."""
     q_r, q_d = dq[..., :4], dq[..., 4:]
     t_quat = quat_multiply(2.0 * q_d, quat_conjugate(q_r))
     return t_quat[..., 1:]
 
 
-def dq_apply(dq: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+@shape_checked
+def dq_apply(dq: Float[Array, "*b 8"], p: Float[Array, "*b 3"]) -> Float[Array, "*b 3"]:
     """Apply unit dual quaternion rigid transform: p' = R p + t
     (dual_quaternions.py:94-103 transform_point_simple)."""
     return quat_apply(dq[..., :4], p) + dq_translation(dq)

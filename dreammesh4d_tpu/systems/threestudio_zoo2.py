@@ -142,6 +142,7 @@ class LatentNeRFLosses:
     lambda_orient: Any = field(default_factory=lambda: [0, 10.0, 1000.0, 5000])
     lambda_sparsity: Any = 0.0005
     lambda_opaque: Any = 0.0
+    lambda_shape: Any = 5.0  # sketch-shape guide (latentnerf.py loss.lambda_shape)
 
 
 def make_latentnerf_train_step(
@@ -151,14 +152,23 @@ def make_latentnerf_train_step(
     losses: LatentNeRFLosses,
     guidance_fn: Callable,
     refinement: bool = False,
+    shape_loss=None,
+    shape_loss_samples: int = 4096,
 ):
     """The geometry's feature head must emit 4 latent channels (geo_cfg
     ``n_feature_dims=4``); ``guidance_fn(rng, img, batch, rgb_as_latents)``.
-    refinement=True switches to 3-channel rgb SDS (latentnerf.py:51-66)."""
+    refinement=True switches to 3-channel rgb SDS (latentnerf.py:51-66).
+
+    ``shape_loss``: an ops.shape_loss.ShapeLoss — the sketch-shape guide
+    (latentnerf.py guide_shape).  The reference evaluates it at the
+    renderer's (detached) sample points; here it is evaluated at points
+    sampled uniformly in the scene bbox each step — same stop-gradient
+    occupancy objective without threading (rays × samples, 3) positions out
+    of the renderer."""
     bg = jnp.zeros((4 if not refinement else 3,), jnp.float32)
 
     def loss_fn(geo_params, batch, rng, step):
-        k_r, k_g = jax.random.split(rng)
+        k_r, k_g, k_s = jax.random.split(rng, 3)
         B, H, W = batch["rays_o"].shape[:3]
         ro = batch["rays_o"].reshape(-1, 3)
         rd = batch["rays_d"].reshape(-1, 3)
@@ -169,11 +179,20 @@ def make_latentnerf_train_step(
         terms: Dict[str, jnp.ndarray] = {
             "sds": guidance_fn(k_g, img, batch, not refinement),
         }
-        _regularizers(out, terms)
-        return _total(terms, {
+        weights_map = {
             "sds": losses.lambda_sds, "orient": losses.lambda_orient,
             "sparsity": losses.lambda_sparsity, "opaque": losses.lambda_opaque,
-        }, step)
+        }
+        if shape_loss is not None:
+            from ..models.geometry.implicit_volume import forward_density
+
+            pts = jax.random.uniform(k_s, (shape_loss_samples, 3),
+                                     minval=-geo_cfg.radius, maxval=geo_cfg.radius)
+            sigmas = forward_density(geo_params, geo_cfg, pts)[..., 0]
+            terms["shape"] = shape_loss(pts, sigmas) / shape_loss_samples
+            weights_map["shape"] = losses.lambda_shape
+        _regularizers(out, terms)
+        return _total(terms, weights_map, step)
 
     @jax.jit
     def train_step(state: SceneTrainState, batch, rng):

@@ -52,6 +52,13 @@ def main(args, extras) -> None:
 
         jax.config.update("jax_platforms", args.platform)
 
+    if args.typecheck:
+        # runtime jaxtyping shape enforcement on annotated ops (reference
+        # --typecheck semantics, launch.py:130-133)
+        from dreammesh4d_tpu.utils.typing import enable_typecheck
+
+        enable_typecheck(True)
+
     import dreammesh4d_tpu as ds
     from dreammesh4d_tpu.config import load_config
     from dreammesh4d_tpu.systems.assembly import build_experiment
@@ -145,7 +152,7 @@ if __name__ == "__main__":
     group.add_argument("--export", action="store_true")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--typecheck", action="store_true",
-                        help="accepted for compatibility")
+                        help="enable runtime jaxtyping shape checking")
     parser.add_argument("--platform", default="auto", choices=["auto", "cpu", "tpu", "axon"],
                         help="force a JAX platform (auto = environment default)")
     args, extras = parser.parse_known_args()
