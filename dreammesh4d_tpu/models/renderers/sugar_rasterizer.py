@@ -54,36 +54,45 @@ def render_view(
     opacities: jnp.ndarray,
     sh: jnp.ndarray,
     sh_degree: int,
-    gs_normals: jnp.ndarray,
+    gs_normals: Optional[jnp.ndarray],
     camera: GSCameraInfo,
     bg_color: jnp.ndarray,
     cfg: RasterizerConfig,
 ) -> Dict[str, jnp.ndarray]:
-    """Render one view with fused rgb+normal channels."""
+    """Render one view with fused rgb+normal channels.
+
+    ``gs_normals=None`` drops the 3 normal channels from the blend (7 -> 4),
+    for passes whose losses never read the normal map — the blend kernel's
+    matmuls scale with channel count."""
     dirs = means3d - camera.camera_center[None, :]
     dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-8)
     rgb = sh_to_rgb(sh_degree, sh, dirs)  # (N,3)
-    colors6 = jnp.concatenate([rgb, gs_normals], -1)  # (N,6)
-    bg6 = jnp.concatenate([bg_color, jnp.zeros(3, bg_color.dtype)], 0)
+    if gs_normals is None:
+        colors = rgb
+        bg = bg_color
+    else:
+        colors = jnp.concatenate([rgb, gs_normals], -1)  # (N,6)
+        bg = jnp.concatenate([bg_color, jnp.zeros(3, bg_color.dtype)], 0)
 
     out = rasterize(
-        means3d, opacities, camera, cfg, bg6, colors=colors6, quats=quats, scales=scales
+        means3d, opacities, camera, cfg, bg, colors=colors, quats=quats, scales=scales
     )
     rendered_rgb = jnp.clip(out.rgb[..., :3], 0.0, 1.0)
-    raw_normal = safe_normalize(out.rgb[..., 3:6])
     alpha = out.alpha
     mask99 = alpha > 0.99
-    normal_map = _grad_mask(raw_normal * 0.5 * alpha + 0.5, mask99)
     depth = _grad_mask(out.depth, mask99)
-    return {
+    res = {
         "comp_rgb": rendered_rgb,
-        "comp_normal": normal_map,
-        "raw_normal": _grad_mask(raw_normal, mask99),
         "comp_depth": depth,
         "comp_mask": alpha,
         "radii": out.radii,
         "visibility_filter": out.radii > 0,
     }
+    if gs_normals is not None:
+        raw_normal = safe_normalize(out.rgb[..., 3:6])
+        res["comp_normal"] = _grad_mask(raw_normal * 0.5 * alpha + 0.5, mask99)
+        res["raw_normal"] = _grad_mask(raw_normal, mask99)
+    return res
 
 
 def render_batch(
@@ -113,6 +122,18 @@ def render_batch(
         return jax.vmap(one)(cameras.world_view, cameras.full_proj, cameras.camera_center)
 
     t_means, t_quats, t_scales, t_normals = timed_attrs
+
+    if t_normals is None:
+        def one_timed_nonorm(wv, fp, cc, m, q, s):
+            return render_view(
+                m, q, s, opacities, sh, sh_degree, None,
+                GSCameraInfo(wv, fp, cc), bg_color, cfg,
+            )
+
+        return jax.vmap(one_timed_nonorm)(
+            cameras.world_view, cameras.full_proj, cameras.camera_center,
+            t_means, t_quats, t_scales,
+        )
 
     def one_timed(wv, fp, cc, m, q, s, n):
         return render_view(

@@ -120,10 +120,22 @@ def make_dynamic_train_step(
 
     ref_cfg = ref_raster_cfg or raster_cfg
 
-    def _timed_render(deform_params, cameras, timestamps, bg, cfg=None):
+    def _static_zero(w):
+        return isinstance(w, (int, float)) and float(w) == 0.0
+
+    # the ref substep's losses (rgb/mask + mesh-space regularizers) never read
+    # the rendered normal map; the rand substep needs it only for normal_tv —
+    # dropping the 3 normal channels shrinks the blend kernel's matmuls 7->4
+    rand_normals = not _static_zero(losses.lambda_normal_tv)
+
+    def _timed_render(deform_params, cameras, timestamps, bg, cfg=None,
+                      with_normals=True):
         gs, vert = timed_all(sugar_params, deform_params, deform_cfg, static, timestamps)
-        fnorm = face_normals(vert.xyz, sg.faces)  # (T, F, 3)
-        gs_normals = jnp.repeat(fnorm, G, axis=-2)
+        if with_normals:
+            fnorm = face_normals(vert.xyz, sg.faces)  # (T, F, 3)
+            gs_normals = jnp.repeat(fnorm, G, axis=-2)
+        else:
+            gs_normals = None
         out = render_batch(
             attrs0.means3d, attrs0.quats, attrs0.scales, attrs0.opacities,
             attrs0.sh, sg.sh_degree, None, cameras, bg, cfg or raster_cfg,
@@ -150,16 +162,20 @@ def make_dynamic_train_step(
         ts = batch["timestamps"]
 
         # --- zero123 substep (random cameras) --------------------------------
-        rand_out, _, _ = _timed_render(deform_params, batch["rand_cameras"], ts, train_bg)
+        rand_out, _, _ = _timed_render(deform_params, batch["rand_cameras"], ts,
+                                       train_bg, with_normals=rand_normals)
         if guidance_fn is not None:
             terms["sds_zero123"] = guidance_fn(rng_guid, rand_out["comp_rgb"], batch)
-        terms["rgb_tv"] = tv_loss(rand_out["comp_rgb"])
-        terms["normal_tv"] = tv_loss(rand_out["comp_normal"])
-        terms["depth_tv"] = tv_loss(rand_out["comp_depth"])
+        if not _static_zero(losses.lambda_rgb_tv):
+            terms["rgb_tv"] = tv_loss(rand_out["comp_rgb"])
+        if rand_normals:
+            terms["normal_tv"] = tv_loss(rand_out["comp_normal"])
+        if not _static_zero(losses.lambda_depth_tv):
+            terms["depth_tv"] = tv_loss(rand_out["comp_depth"])
 
         # --- ref substep (video frames) --------------------------------------
         ref_out, _, vert = _timed_render(deform_params, batch["ref_cameras"], ts,
-                                         bg_base, ref_cfg)
+                                         bg_base, ref_cfg, with_normals=False)
         if video_frames is not None:
             gt_mask = video_frames[1][batch["frame_indices"]]
             gt_rgb = video_frames[0][batch["frame_indices"]] * gt_mask

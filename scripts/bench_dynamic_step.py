@@ -56,6 +56,7 @@ def main():
     fov = np.radians(40.0)
     t = float(np.tan(fov / 2))
     raster_cfg = RasterizerConfig(W, W, t, t, tile_capacity=1024, chunk=32,
+                                  max_tiles_per_gaussian=8,
                                   backend="pallas_resident")
     cam_cfg = RandomCameraConfig(height=W, width=W, batch_size=T)
     sampler = RandomCameraSampler(cam_cfg, seed=0)
