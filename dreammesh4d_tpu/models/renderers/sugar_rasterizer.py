@@ -111,38 +111,44 @@ def render_batch(
     """vmap over views.  If ``timed_attrs`` is given (per-view means/quats/
     normals with a leading B dim, the dynamic-stage path,
     diff_sugar_rasterizer_temporal.py:149-178), those are mapped alongside the
-    cameras; otherwise the static attributes broadcast."""
+    cameras; otherwise the static attributes broadcast.  ``bg_color`` may be
+    (3,) shared or (B, 3) per-view (merged substep batches with different
+    backgrounds)."""
+    bg_axis = 0 if bg_color.ndim == 2 else None
+
     if timed_attrs is None:
-        def one(wv, fp, cc):
+        def one(wv, fp, cc, bg):
             return render_view(
                 means3d, quats, scales, opacities, sh, sh_degree, gs_normals,
-                GSCameraInfo(wv, fp, cc), bg_color, cfg,
+                GSCameraInfo(wv, fp, cc), bg, cfg,
             )
 
-        return jax.vmap(one)(cameras.world_view, cameras.full_proj, cameras.camera_center)
+        return jax.vmap(one, in_axes=(0, 0, 0, bg_axis))(
+            cameras.world_view, cameras.full_proj, cameras.camera_center, bg_color
+        )
 
     t_means, t_quats, t_scales, t_normals = timed_attrs
 
     if t_normals is None:
-        def one_timed_nonorm(wv, fp, cc, m, q, s):
+        def one_timed_nonorm(wv, fp, cc, bg, m, q, s):
             return render_view(
                 m, q, s, opacities, sh, sh_degree, None,
-                GSCameraInfo(wv, fp, cc), bg_color, cfg,
+                GSCameraInfo(wv, fp, cc), bg, cfg,
             )
 
-        return jax.vmap(one_timed_nonorm)(
-            cameras.world_view, cameras.full_proj, cameras.camera_center,
+        return jax.vmap(one_timed_nonorm, in_axes=(0, 0, 0, bg_axis, 0, 0, 0))(
+            cameras.world_view, cameras.full_proj, cameras.camera_center, bg_color,
             t_means, t_quats, t_scales,
         )
 
-    def one_timed(wv, fp, cc, m, q, s, n):
+    def one_timed(wv, fp, cc, bg, m, q, s, n):
         return render_view(
             m, q, s, opacities, sh, sh_degree, n,
-            GSCameraInfo(wv, fp, cc), bg_color, cfg,
+            GSCameraInfo(wv, fp, cc), bg, cfg,
         )
 
-    return jax.vmap(one_timed)(
-        cameras.world_view, cameras.full_proj, cameras.camera_center,
+    return jax.vmap(one_timed, in_axes=(0, 0, 0, bg_axis, 0, 0, 0, 0))(
+        cameras.world_view, cameras.full_proj, cameras.camera_center, bg_color,
         t_means, t_quats, t_scales, t_normals,
     )
 

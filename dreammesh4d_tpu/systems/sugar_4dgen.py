@@ -174,6 +174,9 @@ def make_dynamic_train_step(
             terms["depth_tv"] = tv_loss(rand_out["comp_depth"])
 
         # --- ref substep (video frames) --------------------------------------
+        # (rand/ref share timestamps; XLA CSE already merges the two identical
+        # timed_all subgraphs — an explicit merged 2T-view batch measured
+        # SLOWER, 104 -> 123 ms: bigger live intermediates, worse fusion)
         ref_out, _, vert = _timed_render(deform_params, batch["ref_cameras"], ts,
                                          bg_base, ref_cfg, with_normals=False)
         if video_frames is not None:
