@@ -40,6 +40,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...ops.quaternion_planar import (
+    pl_dq_apply,
+    pl_dq_blend,
+    pl_dq_from_quat_translation,
+    pl_fuse_rotations,
+    pl_quat_apply,
+    pl_quat_exp,
+    pl_quat_log,
+    pl_quat_mul,
+    pl_quat_normalize,
+)
 from ...ops.quaternion import (
     dq_apply,
     dq_blend,
@@ -151,53 +162,69 @@ def timed_node_attrs(
 
 
 def skin_vertices(static: DynamicStatic, verts: jnp.ndarray, node: NodeAttrs) -> VertexAttrs:
-    """Deform mesh vertices from node transforms (dynamic_sugar.py:487-613)."""
-    idx, w = static.nbr_idx, static.nbr_w  # (V,K)
-    n_trans = node.trans[..., idx, :]  # (..., V, K, 3)
-    n_rots = node.rots[..., idx, :]  # (..., V, K, 4)
+    """Deform mesh vertices from node transforms (dynamic_sugar.py:487-613).
+
+    Internally COMPONENT-PLANAR (ops/quaternion_planar.py): node attributes
+    are transposed once to (c, ..., M) planes and every quat/strain op runs
+    with the vertex axis in lanes — the AoS (..., V, K, 4) formulation left
+    124/128 lanes idle and dominated the dynamic-step profile."""
+    idx_t = static.nbr_idx.T  # (K, V)
+    w_t = static.nbr_w.T  # (K, V)
+    trans_p = jnp.moveaxis(node.trans, -1, 0)  # (3, ..., M)
+    rots_p = jnp.moveaxis(node.rots, -1, 0)  # (4, ..., M)
+    n_trans = trans_p[..., idx_t]  # (3, ..., K, V)
+    n_rots = rots_p[..., idx_t]  # (4, ..., K, V)
+    verts_p = verts.T if verts.ndim == 2 else jnp.moveaxis(verts, -1, 0)  # (3, [...,] V)
 
     method = static.skinning_method
     deformed_lbs = None
     if method in ("lbs", "hybrid"):
         assert node.strain is not None, "lbs/hybrid needs the strain head"
-        n_strain = node.strain[..., idx, :, :]  # (..., V, K, 3, 3)
-        vx = verts[..., :, None, :]  # (..., V, 1, 3)
-        sx = jnp.einsum("...vkij,...vj->...vki", n_strain, verts)  # strain · x
-        rx = jnp.einsum("...vkij,...vkj->...vki", quat_to_matrix(n_rots), sx)
+        strain_p = jnp.moveaxis(jnp.moveaxis(node.strain, -1, 0), -1, 1)  # (3i, 3j, ..., M)
+        n_strain = strain_p[..., idx_t]  # (3, 3, ..., K, V)
+        # sx = strain · x; verts_p[j] broadcasts over (..., K, V)
+        sx = jnp.stack(
+            [sum(n_strain[i, j] * verts_p[j] for j in range(3)) for i in range(3)], 0
+        )  # (3, ..., K, V)
+        rx = pl_quat_apply(n_rots, sx)
         deformed = rx + n_trans
-        deformed_lbs = (w[..., None] * deformed).sum(-2)  # (..., V, 3)
+        deformed_lbs = (w_t * deformed).sum(-2)  # (3, ..., V)
 
     deformed_dqs = None
     if method in ("dqs", "hybrid"):
-        dq = dq_from_quat_translation(n_rots, n_trans)  # (..., V, K, 8)
-        blended = dq_blend(dq, jnp.broadcast_to(w, dq.shape[:-1]))
-        deformed_dqs = dq_apply(blended, verts)
+        dq = pl_dq_from_quat_translation(n_rots, n_trans)  # (8, ..., K, V)
+        blended = pl_dq_blend(dq, w_t)
+        deformed_dqs = pl_dq_apply(blended, verts_p)
 
     if method == "lbs":
-        xyz = deformed_lbs
+        xyz_p = deformed_lbs
     elif method == "dqs":
-        xyz = deformed_dqs
+        xyz_p = deformed_dqs
     else:  # hybrid (dynamic_sugar.py:567-579)
         assert node.blendw is not None, "hybrid needs the opacity/blend head"
-        n_bw = node.blendw[..., idx, 0]  # (..., V, K)
-        vert_lbs_w = (w * n_bw).sum(-1, keepdims=True)
+        n_bw = node.blendw[..., 0][..., idx_t]  # (..., K, V)
+        vert_lbs_w = (w_t * n_bw).sum(-2)  # (..., V)
         vert_lbs_w = jnp.clip(vert_lbs_w + 0.4, None, 1.0)
-        xyz = vert_lbs_w * deformed_lbs + (1.0 - vert_lbs_w) * deformed_dqs
+        xyz_p = vert_lbs_w * deformed_lbs + (1.0 - vert_lbs_w) * deformed_dqs
 
-    vert_rots = fuse_rotations(idx, w, node.rots)
+    vert_rots_p = pl_fuse_rotations(idx_t, w_t, rots_p)  # (4, ..., V)
 
     vert_strain = None
     if static.d_scale and node.strain is not None:
-        n_strain = node.strain[..., idx, :, :]
+        strain_p = jnp.moveaxis(jnp.moveaxis(node.strain, -1, 0), -1, 1)
+        n_strain = strain_p[..., idx_t]  # (3, 3, ..., K, V)
         if method == "hybrid":
-            n_bw = node.blendw[..., idx, :]  # (..., V, K, 1)
-            s = (w[..., None, None] * n_bw[..., None] * n_strain).sum(-3)
-            s = s + (1.0 - vert_lbs_w)[..., None] * jnp.eye(3)
+            s = (w_t * n_bw * n_strain).sum(-2)  # (3, 3, ..., V)
+            eye = jnp.eye(3).reshape((3, 3) + (1,) * (s.ndim - 2))
+            s = s + (1.0 - vert_lbs_w) * eye
         else:
-            s = (w[..., None, None] * n_strain).sum(-3)
-        vert_strain = s
+            s = (w_t * n_strain).sum(-2)
+        # (3i, 3j, ..., V) -> (..., V, 3i, 3j)
+        vert_strain = jnp.moveaxis(jnp.moveaxis(s, 0, -1), 0, -1)
 
-    return VertexAttrs(xyz, vert_rots, vert_strain)
+    return VertexAttrs(
+        jnp.moveaxis(xyz_p, 0, -1), jnp.moveaxis(vert_rots_p, 0, -1), vert_strain
+    )
 
 
 class TimedGS(NamedTuple):
@@ -214,16 +241,41 @@ def timed_gs_attrs(
     """Re-derive renderable Gaussian attributes at each timestamp
     (dynamic_sugar.py:657-743)."""
     sg = static.sugar
-    means = gaussian_centers(vert.xyz, sg)  # (..., N, 3)
-
-    gs_drot = fuse_rotations(static.gs_vert_idx, static.gs_bary_w, vert.rots)
     attrs0 = gaussian_attributes(params, sg)
-    quats = quat_normalize(quat_multiply(gs_drot, attrs0.quats))
+    F = sg.faces.shape[0]
+    G = sg.n_per_face
+
+    means = gaussian_centers(vert.xyz, sg)  # face-gather + bary einsum
+
+    # Gaussians are bound 6-per-face to the SAME 3 vertices: gather per-FACE
+    # (F-sized, 6x smaller than per-gaussian) and expand slots with a small
+    # barycentric einsum.  Component-planar (ops/quaternion_planar.py) with
+    # the face axis in lanes; slot axis (G=6) stays second-minor and the
+    # single f-major transpose happens once per output tensor.
+    faces_t = sg.faces.T  # (3v, F)
+    bary = sg.bary_coords  # (G, 3)
+
+    def _fg_to_aos(x_p):  # (c, ..., G, F) -> (..., F*G, c) f-major
+        x_p = jnp.swapaxes(x_p, -1, -2)  # (c, ..., F, G)
+        x = jnp.moveaxis(x_p, 0, -1)  # (..., F, G, c)
+        return x.reshape(x.shape[:-3] + (F * G, x.shape[-1]))
+
+    vlogs_p = pl_quat_log(jnp.moveaxis(vert.rots, -1, 0))  # (3c, ..., V)
+    flogs = vlogs_p[..., faces_t]  # (3c, ..., 3v, F)
+    fused = jnp.einsum("gj,...jf->...gf", bary, flogs)  # (3c, ..., G, F)
+    gs_drot_p = pl_quat_exp(fused)  # (4, ..., G, F)
+    q0_p = jnp.transpose(attrs0.quats.reshape(F, G, 4), (2, 1, 0))  # (4, G, F)
+    quats = _fg_to_aos(pl_quat_normalize(pl_quat_mul(gs_drot_p, q0_p)))
 
     if static.d_scale and vert.strain is not None:
-        v_strain = vert.strain[..., static.gs_vert_idx, :, :]  # (..., N, 3, 3, 3)?
-        gs_strain = (static.gs_bary_w[..., None, None] * v_strain).sum(-3)
-        scales = jnp.einsum("...nij,...nj->...ni", gs_strain, attrs0.scales)
+        vs_p = jnp.moveaxis(jnp.moveaxis(vert.strain, -1, 0), -1, 1)  # (3i, 3j, ..., V)
+        fstrain = vs_p[..., faces_t]  # (3i, 3j, ..., 3v, F)
+        gs_strain = jnp.einsum("gj,...jf->...gf", bary, fstrain)  # (3i, 3j, ..., G, F)
+        s0_p = jnp.transpose(attrs0.scales.reshape(F, G, 3), (2, 1, 0))  # (3, G, F)
+        scales_p = jnp.stack(
+            [sum(gs_strain[i, j] * s0_p[j] for j in range(3)) for i in range(3)], 0
+        )
+        scales = _fg_to_aos(scales_p)
     else:
         scales = jnp.broadcast_to(attrs0.scales, means.shape)
     return TimedGS(means, quats, scales)

@@ -1,6 +1,9 @@
 """Summarize a jax.profiler trace: top device ops by total duration.
 
-Usage: python scripts/summarize_trace.py /tmp/gsprof [top_n]
+Usage: python scripts/summarize_trace.py /tmp/gsprof [top_n] [--by-source]
+
+--by-source groups by the emitting source file:line (from op metadata)
+instead of the HLO op name — attribution for long tails of small fusions.
 """
 
 import glob
@@ -11,8 +14,10 @@ from collections import defaultdict
 
 
 def main():
-    root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gsprof"
-    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    by_source = "--by-source" in sys.argv
+    root = args[0] if args else "/tmp/gsprof"
+    top_n = int(args[1]) if len(args) > 1 else 30
     path = sorted(glob.glob(f"{root}/plugins/profile/*/*.trace.json.gz"))[-1]
     with gzip.open(path, "rt") as f:
         data = json.load(f)
@@ -33,13 +38,19 @@ def main():
     for e in events:
         if e["pid"] not in dev_pids:
             continue
-        a = agg[e["name"]]
-        a[0] += e["dur"]
-        a[1] += 1
+        name = e["name"]
+        if name.startswith("jit_") or name.startswith("PjitFunction") or name.isdigit():
+            continue  # whole-program envelope events would double-count
+        if by_source:
+            a = e.get("args", {})
+            name = a.get("source", "") or a.get("tf_op", name)
+        g = agg[name]
+        g[0] += e["dur"]
+        g[1] += 1
         total += e["dur"]
 
     print(f"trace: {path}")
-    print(f"device total: {total/1e3:.2f} ms over {len(agg)} op names")
+    print(f"device total: {total/1e3:.2f} ms over {len(agg)} keys")
     print(f"{'us_total':>10} {'count':>6}  name")
     for name, (dur, cnt) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:top_n]:
         print(f"{dur:10.0f} {cnt:6d}  {name[:110]}")
