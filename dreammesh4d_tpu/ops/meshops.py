@@ -195,6 +195,37 @@ def arap_energy(
     return (m * (diff**2).sum(-1)).sum() / jnp.maximum(m.sum(), 1.0)
 
 
+def arap_energy_quat_planar(
+    e_ref_p: jnp.ndarray,
+    idx_t: jnp.ndarray,
+    m_t: jnp.ndarray,
+    verts_def: jnp.ndarray,
+    rot_quats: jnp.ndarray,
+) -> jnp.ndarray:
+    """Component-planar ARAP with given per-vertex rotation QUATS — the
+    dynamic-stage fast path (same energy as :func:`arap_energy` with
+    ``rotations`` given; one energy summed over all leading batch dims,
+    normalized by the weight sum per batch element).
+
+    e_ref_p: (3, K, V) rest-pose edges, precomputed once per mesh
+        (``rest.T[:, None, :] - rest.T[:, idx_t]``);
+    idx_t: (K, V) transposed neighbor indices; m_t: (K, V) mask*weights;
+    verts_def: (..., V, 3) deformed vertices; rot_quats: (..., V, 4) wxyz.
+
+    Avoids the AoS (V, K, 3) einsum chain (trailing dim 3 idles 125/128 TPU
+    lanes) and the quat->matrix expansion."""
+    from .quaternion_planar import pl_quat_apply
+
+    p_def = jnp.moveaxis(verts_def, -1, 0)  # (3, ..., V)
+    e_def = p_def[..., None, :] - p_def[..., idx_t]  # (3, ..., K, V)
+    q_p = jnp.moveaxis(rot_quats, -1, 0)[..., None, :]  # (4, ..., 1, V)
+    rot_e = pl_quat_apply(q_p, e_ref_p)  # (3, ..., K, V)
+    diff = e_def - rot_e
+    # Σ_t [(m diff_t²).sum / max(m.sum, 1)] == total / max(m.sum, 1): the
+    # per-batch normalizer is batch-independent, so one fused reduction works.
+    return (m_t * (diff * diff).sum(0)).sum() / jnp.maximum(m_t.sum(), 1.0)
+
+
 def tv_loss(img: jnp.ndarray) -> jnp.ndarray:
     """Total variation on (..., H, W, C) images (threestudio/utils/loss.py:8-16)."""
     dh = img[..., 1:, :, :] - img[..., :-1, :, :]

@@ -42,13 +42,12 @@ from ..models.geometry.sugar import SuGaRParams, gaussian_attributes
 from ..models.renderers.sugar_rasterizer import CameraBatch, render_batch
 from ..ops.gs import RasterizerConfig
 from ..ops.meshops import (
-    arap_energy,
+    arap_energy_quat_planar,
     face_normals,
     laplacian_smoothing_loss,
     normal_consistency_loss,
     tv_loss,
 )
-from ..ops.quaternion import quat_to_matrix
 from ..utils.schedule import C_jax
 
 
@@ -143,16 +142,18 @@ def make_dynamic_train_step(
         )
         return out, gs, vert
 
+    # planar ARAP fast path: rest-pose edges precomputed once, rotations
+    # applied as quats (ops/meshops.arap_energy_quat_planar)
+    _arap_idx_t = sg.ring_idx.T  # (K, V)
+    _arap_m_t = ((sg.ring_mask & (sg.ring_idx >= 0)).astype(jnp.float32)
+                 * arap_weights).T  # (K, V)
+    _rest_p = rest_points.T  # (3, V)
+    _e_ref_p = _rest_p[:, None, :] - _rest_p[:, _arap_idx_t]  # (3, K, V)
+
     def _arap(vert_xyz, vert_rots):
-        R = quat_to_matrix(vert_rots)  # (T, V, 3, 3)
-
-        def one(xyz_t, R_t):
-            return arap_energy(
-                rest_points, xyz_t, sg.ring_idx, sg.ring_mask, arap_weights,
-                rotations=R_t,
-            )
-
-        return jax.vmap(one)(vert_xyz, R).sum()
+        return arap_energy_quat_planar(
+            _e_ref_p, _arap_idx_t, _arap_m_t, vert_xyz, vert_rots
+        )
 
     def loss_fn(deform_params, batch, rng, step):
         terms: Dict[str, jnp.ndarray] = {}

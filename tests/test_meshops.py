@@ -107,3 +107,30 @@ def test_tv_loss():
     assert float(tv_loss(flat)) == 0.0
     noisy = jnp.asarray(np.random.RandomState(0).rand(8, 8, 3).astype(np.float32))
     assert float(tv_loss(noisy)) > 0.05
+
+
+def test_arap_energy_quat_planar_matches_aos():
+    import jax.numpy as jnp
+    import numpy as np
+    from dreammesh4d_tpu.ops.meshops import arap_energy, arap_energy_quat_planar
+    from dreammesh4d_tpu.ops.quaternion import quat_normalize, quat_to_matrix
+
+    rng = np.random.RandomState(0)
+    V, K, T = 40, 5, 3
+    rest = jnp.asarray(rng.randn(V, 3), jnp.float32)
+    verts = jnp.asarray(rest[None] + 0.1 * rng.randn(T, V, 3), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, V, (V, K)), jnp.int32)
+    mask = jnp.asarray(rng.rand(V, K) > 0.2)
+    w = jnp.asarray(rng.rand(V, K), jnp.float32)
+    quats = quat_normalize(jnp.asarray(rng.randn(T, V, 4), jnp.float32))
+
+    ref = sum(
+        arap_energy(rest, verts[t], idx, mask, w,
+                    rotations=quat_to_matrix(quats[t]))
+        for t in range(T)
+    )
+    m_t = ((mask & (idx >= 0)).astype(jnp.float32) * w).T
+    rest_p = rest.T
+    e_ref_p = rest_p[:, None, :] - rest_p[:, idx.T]
+    got = arap_energy_quat_planar(e_ref_p, idx.T, m_t, verts, quats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5)
