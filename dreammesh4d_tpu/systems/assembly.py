@@ -462,15 +462,21 @@ class Sugar4DGenExperiment:
         )
 
         guidance_fn = None
+        self._gstate = None
         guidance_pack = maybe_build_guidance(system)
         if guidance_pack is not None:
             guidance, gparams = guidance_pack
             frames_rgb, _ = self.data.load_frames()
             bank = guidance.prepare_embeddings(gparams, jnp.asarray(frames_rgb))
+            # params/bank ride the jitted step as an argument — closing over
+            # them would bake ~3.4 GB of UNet weights into the program as
+            # captured constants (unbounded lowering/compile)
+            self._gstate = (gparams, bank)
 
-            def guidance_fn(rng, rgb, batch):  # noqa: F811
+            def guidance_fn(gstate, rng, rgb, batch):  # noqa: F811
+                gp, bk = gstate
                 return guidance.sds_loss(
-                    gparams, bank, rng, rgb, batch["elevation"], batch["azimuth"],
+                    gp, bk, rng, rgb, batch["elevation"], batch["azimuth"],
                     batch["camera_distances"], batch["frame_indices"], 0,
                 )["loss_sds"]
 
@@ -506,9 +512,11 @@ class Sugar4DGenExperiment:
         # only cameras/timestamps cross the host boundary per step
         keep = ("timestamps", "frame_indices", "ref_cameras",
                 "rand_cameras", "inter_timestamps")
+        if self._gstate is not None:  # SDS conditioning needs the view poses
+            keep += ("elevation", "azimuth", "camera_distances")
         batch = {k: batch[k] for k in keep}
         self.rng, k = jax.random.split(self.rng)
-        self.state, metrics = self._train_step(self.state, batch, k)
+        self.state, metrics = self._train_step(self.state, batch, k, self._gstate)
         return metrics
 
     def validate(self, step: int, test: bool = False) -> None:

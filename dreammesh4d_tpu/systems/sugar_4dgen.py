@@ -79,7 +79,11 @@ def init_dyn_state(deform_params, optimizer) -> DynTrainState:
     return DynTrainState(deform_params, optimizer.init(deform_params), jnp.zeros((), jnp.int32))
 
 
-GuidanceFn = Callable[[jax.Array, jnp.ndarray, Dict[str, jnp.ndarray]], jnp.ndarray]
+# guidance_fn(guidance_state, rng, rgb, batch) -> scalar SDS loss.  The
+# guidance parameters/embedding bank ride through the jitted step as an
+# ARGUMENT — closing over them bakes the ~3.4 GB UNet weights into the
+# program as constants (3.7 GB captured-constant lowering, unbounded compile).
+GuidanceFn = Callable[[Any, jax.Array, jnp.ndarray, Dict[str, jnp.ndarray]], jnp.ndarray]
 
 
 def make_dynamic_train_step(
@@ -155,7 +159,7 @@ def make_dynamic_train_step(
             _e_ref_p, _arap_idx_t, _arap_m_t, vert_xyz, vert_rots
         )
 
-    def loss_fn(deform_params, batch, rng, step):
+    def loss_fn(deform_params, batch, rng, step, gstate):
         terms: Dict[str, jnp.ndarray] = {}
         rng_bg, rng_guid = jax.random.split(rng)
         invert = jax.random.uniform(rng_bg) > (1.0 - invert_bg_prob)
@@ -166,7 +170,8 @@ def make_dynamic_train_step(
         rand_out, _, _ = _timed_render(deform_params, batch["rand_cameras"], ts,
                                        train_bg, with_normals=rand_normals)
         if guidance_fn is not None:
-            terms["sds_zero123"] = guidance_fn(rng_guid, rand_out["comp_rgb"], batch)
+            terms["sds_zero123"] = guidance_fn(gstate, rng_guid,
+                                               rand_out["comp_rgb"], batch)
         if not _static_zero(losses.lambda_rgb_tv):
             terms["rgb_tv"] = tv_loss(rand_out["comp_rgb"])
         if rand_normals:
@@ -243,9 +248,9 @@ def make_dynamic_train_step(
         return total, metrics
 
     @jax.jit
-    def train_step(state: DynTrainState, batch, rng):
+    def train_step(state: DynTrainState, batch, rng, guidance_state=None):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.deform_params, batch, rng, state.step
+            state.deform_params, batch, rng, state.step, guidance_state
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.deform_params)
         deform_params = optax.apply_updates(state.deform_params, updates)

@@ -7,12 +7,15 @@ full sugar_dynamic_dg.yaml config, 4 ref + 4 random views @512², keyframe +
 train step on the session accelerator.
 """
 
+import sys
 import time
 
 import numpy as np
 
 
 def main():
+    with_sds = "--sds" in sys.argv
+    bf16 = "--bf16" in sys.argv
     import jax
     import jax.numpy as jnp
     import optax
@@ -67,27 +70,60 @@ def main():
 
     video = (jnp.zeros((L, W, W, 3)), jnp.ones((L, W, W, 1)))
     optimizer = optax.adam(1e-3)
+
+    guidance_fn = None
+    if with_sds:
+        # FULL-SIZE flax Zero123 (randomly initialized — same compute as the
+        # converted checkpoint): VAE encode 256^2 + 860M-param UNet CFG batch
+        from dreammesh4d_tpu.models.guidance.zero123.guidance import (
+            StableZero123Guidance,
+            Zero123Config,
+        )
+
+        gcfg = Zero123Config(use_clip=False,
+                             dtype=jnp.bfloat16 if bf16 else jnp.float32)
+        guid = StableZero123Guidance(gcfg)
+        gparams = guid.modules.init_params(jax.random.PRNGKey(7))
+        n_unet = sum(x.size for x in jax.tree_util.tree_leaves(gparams["unet"]))
+        print(f"UNet params: {n_unet/1e6:.1f}M")
+        bank = {
+            "c_crossattn": jnp.zeros((L, 768)),
+            "c_concat": jnp.zeros((L, 32, 32, 4)),
+        }
+
+        def guidance_fn(gstate, rng, rgb, batch):
+            gp, bk = gstate
+            return guid.sds_loss(
+                gp, bk, rng, rgb, batch["elevation"], batch["azimuth"],
+                batch["camera_distances"], batch["frame_indices"], 0,
+            )["loss_sds"]
+
     step_fn = make_dynamic_train_step(
         params, static, def_cfg, raster_cfg, optimizer, Sugar4DGenLosses(),
-        arap_w, guidance_fn=None, video_frames=video,
+        arap_w, guidance_fn=guidance_fn, video_frames=video,
     )
     state = init_dyn_state(dparams, optimizer)
     ref = sampler.orbit(n_views=T, height=W, width=W)
+    rand = sampler.sample(batch_size=T)
     batch = {
         "timestamps": jnp.linspace(0.1, 0.9, T),
         "frame_indices": jnp.arange(T, dtype=jnp.int32),
         "ref_cameras": ref["rand_cameras"],
-        "rand_cameras": sampler.sample(batch_size=T)["rand_cameras"],
+        "rand_cameras": rand["rand_cameras"],
+        "elevation": rand["elevation"],
+        "azimuth": rand["azimuth"],
+        "camera_distances": rand["camera_distances"],
         "inter_timestamps": jnp.linspace(0.2, 0.4, 10),
     }
+    gstate = (gparams, bank) if with_sds else None
     rng = jax.random.PRNGKey(0)
-    state, m = step_fn(state, batch, rng)
+    state, m = step_fn(state, batch, rng, gstate)
     jax.block_until_ready(m)
 
     n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        state, m = step_fn(state, batch, rng)
+        state, m = step_fn(state, batch, rng, gstate)
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / n_iter
     print(f"dynamic step: {dt*1e3:.1f} ms  -> 2000 steps = {dt*2000/60:.1f} min")
