@@ -110,7 +110,9 @@ class Zero123Modules:
         (encode_images, temporal_*.py:227-236)."""
         S = self.cfg.image_size
         B = rgb.shape[0]
-        img = jax.image.resize(rgb, (B, S, S, 3), "bilinear") * 2.0 - 1.0
+        if rgb.shape[1] != S or rgb.shape[2] != S:
+            rgb = jax.image.resize(rgb, (B, S, S, 3), "bilinear")
+        img = rgb * 2.0 - 1.0
         mean, logvar = self.vae.apply({"params": params["vae"]}, img,
                                       method=AutoencoderKL.encode_moments)
         return mean * LATENT_SCALE
@@ -119,7 +121,9 @@ class Zero123Modules:
         """c_concat: posterior MODE, un-scaled (get_img_embeds .mode())."""
         S = self.cfg.image_size
         B = rgb.shape[0]
-        img = jax.image.resize(rgb, (B, S, S, 3), "bilinear") * 2.0 - 1.0
+        if rgb.shape[1] != S or rgb.shape[2] != S:
+            rgb = jax.image.resize(rgb, (B, S, S, 3), "bilinear")
+        img = rgb * 2.0 - 1.0
         return self.vae.apply({"params": params["vae"]}, img,
                               method=AutoencoderKL.encode_mode)
 

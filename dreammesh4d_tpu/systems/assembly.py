@@ -172,14 +172,17 @@ class GaussianStageExperiment:
 
         guidance_pack = maybe_build_guidance(system)
         guidance_fn = None
+        self._gstate = None
         if guidance_pack is not None:
             guidance, gparams = guidance_pack
             ref = self.data.ref_batch()
             bank = guidance.prepare_embeddings(gparams, ref["ref_rgb"])
+            self._gstate = (gparams, bank)  # rides the step as an ARGUMENT
 
-            def guidance_fn(rng, rgb, batch):  # noqa: F811
+            def guidance_fn(gstate, rng, rgb, batch):  # noqa: F811
+                gp, bk = gstate
                 return guidance.sds_loss(
-                    gparams, bank, rng, rgb, batch["elevation"], batch["azimuth"],
+                    gp, bk, rng, rgb, batch["elevation"], batch["azimuth"],
                     batch["camera_distances"], None, 0,
                 )["loss_sds"]
 
@@ -195,9 +198,13 @@ class GaussianStageExperiment:
 
     def train_step(self, step: int) -> Dict[str, float]:
         batch = self.data.train_batch(step)
-        b = {k: batch[k] for k in ("ref_cameras", "ref_rgb", "ref_mask", "rand_cameras")}
+        keep = ("ref_cameras", "ref_rgb", "ref_mask", "rand_cameras")
+        if self._gstate is not None:  # SDS conditioning needs the view poses
+            keep += ("elevation", "azimuth", "camera_distances")
+        b = {k: batch[k] for k in keep}
         self.rng, k = jax.random.split(self.rng)
-        self.state, metrics = self._train_step(self.state, b, self.reg_state, k)
+        self.state, metrics = self._train_step(self.state, b, self.reg_state, k,
+                                               self._gstate)
         if (self.densify_from <= step < self.densify_until
                 and step % self.densify_every == 0 and step > 0):
             self.rng, k2 = jax.random.split(self.rng)
@@ -306,14 +313,17 @@ class SugarStaticExperiment:
 
         guidance_pack = maybe_build_guidance(system)
         guidance_fn = None
+        self._gstate = None
         if guidance_pack is not None:
             guidance, gparams = guidance_pack
             ref = self.data.ref_batch()
             bank = guidance.prepare_embeddings(gparams, ref["ref_rgb"])
+            self._gstate = (gparams, bank)  # rides the step as an ARGUMENT
 
-            def guidance_fn(rng, rgb, batch):  # noqa: F811
+            def guidance_fn(gstate, rng, rgb, batch):  # noqa: F811
+                gp, bk = gstate
                 return guidance.sds_loss(
-                    gparams, bank, rng, rgb, batch["elevation"], batch["azimuth"],
+                    gp, bk, rng, rgb, batch["elevation"], batch["azimuth"],
                     batch["camera_distances"], None, batch.get("step", 0),
                 )["loss_sds"]
 
@@ -331,9 +341,12 @@ class SugarStaticExperiment:
 
     def train_step(self, step: int) -> Dict[str, float]:
         batch = self.data.train_batch(step)
-        batch = {k: batch[k] for k in ("ref_cameras", "ref_rgb", "ref_mask", "rand_cameras")}
+        keep = ("ref_cameras", "ref_rgb", "ref_mask", "rand_cameras")
+        if self._gstate is not None:  # SDS conditioning needs the view poses
+            keep += ("elevation", "azimuth", "camera_distances")
+        batch = {k: batch[k] for k in keep}
         self.rng, k = jax.random.split(self.rng)
-        self.state, metrics = self._train_step(self.state, batch, k)
+        self.state, metrics = self._train_step(self.state, batch, k, self._gstate)
         return metrics
 
     def validate(self, step: int, test: bool = False) -> None:
@@ -489,6 +502,10 @@ class Sugar4DGenExperiment:
         ref_raster_cfg = build_raster_config(d.height, d.width, d.default_fovy_deg, system)
         frames_rgb_np, frames_mask_np = self.data.load_frames()
         self._video_frames = (jnp.asarray(frames_rgb_np), jnp.asarray(frames_mask_np))
+        grs = int(dict(system.get("guidance", {})).get("guidance_render_size", 0) or 0)
+        rand_raster_cfg = None
+        if grs and grs != d.random_camera.height:
+            rand_raster_cfg = build_raster_config(grs, grs, d.default_fovy_deg, system)
         self._train_step = make_dynamic_train_step(
             sugar_params, self.static, deform_cfg, self.raster_cfg, optimizer,
             loss_cfg, jnp.asarray(arap_w), guidance_fn,
@@ -496,6 +513,7 @@ class Sugar4DGenExperiment:
             arap_start_step=int(freq.get("milestone_arap_reg", 0)),
             ref_raster_cfg=ref_raster_cfg,
             video_frames=self._video_frames,
+            rand_raster_cfg=rand_raster_cfg,
         )
         self._render_eval = make_dynamic_render_eval(
             sugar_params, self.static, deform_cfg, self.raster_cfg
@@ -651,15 +669,18 @@ class Zero123Experiment:
         })
 
         guidance_fn = None
+        self._gstate = None
         guidance_pack = maybe_build_guidance(system)
         if guidance_pack is not None:
             guidance, gparams = guidance_pack
             ref = self.data.ref_batch()
             bank = guidance.prepare_embeddings(gparams, ref["ref_rgb"])
+            self._gstate = (gparams, bank)  # rides the step as an ARGUMENT
 
-            def guidance_fn(rng, rgb, batch):  # noqa: F811
+            def guidance_fn(gstate, rng, rgb, batch):  # noqa: F811
+                gp, bk = gstate
                 return guidance.sds_loss(
-                    gparams, bank, rng, rgb, batch["elevation"], batch["azimuth"],
+                    gp, bk, rng, rgb, batch["elevation"], batch["azimuth"],
                     batch["camera_distances"], None, 0,
                 )["loss_sds"]
 
@@ -693,7 +714,8 @@ class Zero123Experiment:
         lm = jnp.asarray(progressive_level_mask(self.hg, step))
         ambient = 1.0 if step < self.ambient_only_steps else 0.1 + 0.9 * float(np.random.rand())
         self.rng, k = jax.random.split(self.rng)
-        self.state, metrics = self._train_step(self.state, b, k, lm, ambient)
+        self.state, metrics = self._train_step(self.state, b, k, lm, ambient,
+                                               self._gstate)
         return metrics
 
     def validate(self, step: int, test: bool = False) -> None:

@@ -187,14 +187,19 @@ class ZooTextExperiment(_ZooNeRFBase):
 
         pack = maybe_build_sd_guidance(system)
         scale = float(dict(system.get("guidance", {})).get("guidance_scale", 100.0))
+        # guidance params/prompt embeddings ride INSIDE the batch dict (added
+        # per step by train_step) — closing over them would bake the SD UNet
+        # into the jitted program as multi-GB captured constants
+        self._gstate = None if pack is None else {"params": pack[1], "prompts": pack[2]}
 
         def guidance_fn(rng, rgb, batch, rgb_as_latents=False):
             if pack is None:
                 return 0.0 * rgb.mean()
-            guidance, gparams, prompts = pack
+            guidance = pack[0]
+            g = batch["_guidance"]
             return guidance.sds_loss(
-                gparams, prompts, rng, rgb, batch["elevation"], batch["azimuth"],
-                batch["camera_distances"], 0,
+                g["params"], g["prompts"], rng, rgb, batch["elevation"],
+                batch["azimuth"], batch["camera_distances"], 0,
                 rgb_as_latents=rgb_as_latents)["loss_sds"]
 
         loss_d = dict(system.get("loss", {}))
@@ -238,6 +243,8 @@ class ZooTextExperiment(_ZooNeRFBase):
             batch = self.sampler.sample_efficient(max(H // 4, 8), max(H // 4, 8))
         else:
             batch = self.sampler.sample()
+        if self._gstate is not None:
+            batch = {**batch, "_guidance": self._gstate}
         self.rng, k = jax.random.split(self.rng)
         self.state, metrics = self._step(self.state, batch, k)
         return metrics
@@ -286,6 +293,7 @@ class ZooVSDExperiment(_ZooNeRFBase):
         else:
             ds.warn("SD checkpoint not found (%r) — VSD disabled.", path)
             lora0 = {"unused": jnp.zeros((1,))}
+        self._gstate = None if pack is None else {"params": pack[1], "prompts": pack[2]}
 
         def vsd_fn(lora, rng, rgb, batch):
             if pack is None:
@@ -294,11 +302,12 @@ class ZooVSDExperiment(_ZooNeRFBase):
                         "loss_lora": 0.0 * sum(jnp.sum(v) for v in
                                                jax.tree_util.tree_leaves(lora)),
                         "grad_norm": z}
-            guidance, gparams, prompts = pack
+            guidance = pack[0]
+            g = batch["_guidance"]
             c2w = batch.get("c2w")
             cam = c2w.reshape(c2w.shape[0], -1) if c2w is not None else \
                 jnp.zeros((rgb.shape[0], 16))
-            return guidance.vsd_loss(gparams, lora, prompts, rng, rgb,
+            return guidance.vsd_loss(g["params"], lora, g["prompts"], rng, rgb,
                                      batch["elevation"], batch["azimuth"],
                                      cam, 0)
 
@@ -312,6 +321,8 @@ class ZooVSDExperiment(_ZooNeRFBase):
 
     def train_step(self, step: int) -> Dict[str, float]:
         batch = self.sampler.sample()
+        if self._gstate is not None:
+            batch = {**batch, "_guidance": self._gstate}
         self.rng, k = jax.random.split(self.rng)
         self.state, metrics = self._step(self.state, batch, k)
         return metrics
@@ -340,14 +351,18 @@ class ZooImageExperiment(_ZooNeRFBase):
         material = DiffuseWithPointLightMaterial()
 
         pack2d = maybe_build_sd_guidance(system)
+        self._gstate = None
+        if pack2d is not None:
+            self._gstate = {"2d": {"params": pack2d[1], "prompts": pack2d[2]}}
 
         def g2d(rng, rgb, batch):
             if pack2d is None:
                 return 0.0 * rgb.mean()
-            guidance, gparams, prompts = pack2d
+            guidance = pack2d[0]
+            g = batch["_guidance"]["2d"]
             return guidance.sds_loss(
-                gparams, prompts, rng, rgb, batch["elevation"], batch["azimuth"],
-                batch["camera_distances"], 0)["loss_sds"]
+                g["params"], g["prompts"], rng, rgb, batch["elevation"],
+                batch["azimuth"], batch["camera_distances"], 0)["loss_sds"]
 
         g3d = None
         from .assembly import maybe_build_guidance
@@ -358,10 +373,13 @@ class ZooImageExperiment(_ZooNeRFBase):
             guidance3, g3params = pack3d
             ref = self.data.ref_batch()
             bank = guidance3.prepare_embeddings(g3params, ref["ref_rgb"])
+            self._gstate = dict(self._gstate or {})
+            self._gstate["3d"] = {"params": g3params, "bank": bank}
 
             def g3d(rng, rgb, batch):  # noqa: F811
+                g = batch["_guidance"]["3d"]
                 return guidance3.sds_loss(
-                    g3params, bank, rng, rgb, batch["elevation"],
+                    g["params"], g["bank"], rng, rgb, batch["elevation"],
                     batch["azimuth"], batch["camera_distances"], None, 0,
                 )["loss_sds"]
 
@@ -394,6 +412,8 @@ class ZooImageExperiment(_ZooNeRFBase):
             "azimuth": rand["azimuth"],
             "camera_distances": rand["camera_distances"],
         }
+        if self._gstate is not None:
+            batch["_guidance"] = self._gstate
         self.rng, k = jax.random.split(self.rng)
         self.state, metrics = self._step(self.state, batch, k)
         return metrics

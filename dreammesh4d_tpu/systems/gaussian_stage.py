@@ -159,7 +159,7 @@ def make_gaussian_train_step(
             scales=scales, quats=quats, means2d_offset=offset,
         )
 
-    def loss_fn(params: GaussianParams, offset, alive, batch, reg_state, rng, step):
+    def loss_fn(params: GaussianParams, offset, alive, batch, reg_state, rng, step, gstate):
         gaussians = merge_state(params, alive)
         terms: Dict[str, jnp.ndarray] = {}
         rng_bg, rng_guid, rng_reg = jax.random.split(rng, 3)
@@ -182,7 +182,7 @@ def make_gaussian_train_step(
         rb = batch["rand_cameras"]
         rand_out = jax.vmap(rand_one)(rb.world_view, rb.full_proj, rb.camera_center)
         if guidance_fn is not None:
-            terms["sds"] = guidance_fn(rng_guid, jnp.clip(rand_out.rgb, 0, 1), batch)
+            terms["sds"] = guidance_fn(gstate, rng_guid, jnp.clip(rand_out.rgb, 0, 1), batch)
         terms["rgb_tv"] = tv_loss(rand_out.rgb)
 
         visibility = (ref_out.radii > 0).any(0) | (rand_out.radii > 0).any(0)
@@ -222,11 +222,12 @@ def make_gaussian_train_step(
         return total, aux
 
     @jax.jit
-    def train_step(state: GaussianTrainState, batch, reg_state: SugarRegState, rng):
+    def train_step(state: GaussianTrainState, batch, reg_state: SugarRegState, rng,
+                   guidance_state=None):
         params, alive = split_state(state.gaussians)
         offset0 = jnp.zeros((C, 2), jnp.float32)
         (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-            params, offset0, alive, batch, reg_state, rng, state.step
+            params, offset0, alive, batch, reg_state, rng, state.step, guidance_state
         )
         g_params, g_offset = grads
         updates, opt_state = optimizer.update(g_params, state.opt_state, params)

@@ -100,6 +100,7 @@ def make_dynamic_train_step(
     arap_start_step: int = 0,
     ref_raster_cfg: Optional[RasterizerConfig] = None,
     video_frames: Optional[tuple] = None,
+    rand_raster_cfg: Optional[RasterizerConfig] = None,
 ):
     """Build the jitted dynamic train step.  ``batch`` layout:
 
@@ -122,6 +123,10 @@ def make_dynamic_train_step(
     ring = (sg.ring_idx, sg.ring_mask)
 
     ref_cfg = ref_raster_cfg or raster_cfg
+    # SDS substep render size: the guidance VAE consumes 256² — rendering the
+    # random views at that size directly (rand_raster_cfg) skips both the
+    # high-res rasterization and the 512→256 resize in encode_images
+    rand_cfg = rand_raster_cfg or raster_cfg
 
     def _static_zero(w):
         return isinstance(w, (int, float)) and float(w) == 0.0
@@ -168,7 +173,8 @@ def make_dynamic_train_step(
 
         # --- zero123 substep (random cameras) --------------------------------
         rand_out, _, _ = _timed_render(deform_params, batch["rand_cameras"], ts,
-                                       train_bg, with_normals=rand_normals)
+                                       train_bg, rand_cfg,
+                                       with_normals=rand_normals)
         if guidance_fn is not None:
             terms["sds_zero123"] = guidance_fn(gstate, rng_guid,
                                                rand_out["comp_rgb"], batch)

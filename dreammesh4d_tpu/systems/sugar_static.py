@@ -91,7 +91,7 @@ def make_train_step(
     G = static.n_per_face
     ref_cfg = ref_raster_cfg or raster_cfg
 
-    def loss_fn(params: SuGaRParams, batch, rng, step):
+    def loss_fn(params: SuGaRParams, batch, rng, step, gstate):
         attrs = gaussian_attributes(params, static)
         fnorm = face_normals(params.points, static.faces)
         gs_normals = jnp.repeat(fnorm, G, axis=0)
@@ -118,7 +118,7 @@ def make_train_step(
             static.sh_degree, gs_normals, batch["rand_cameras"], train_bg, raster_cfg,
         )
         if guidance_fn is not None:
-            terms["sds"] = guidance_fn(rng_guid, rand_out["comp_rgb"], batch)
+            terms["sds"] = guidance_fn(gstate, rng_guid, rand_out["comp_rgb"], batch)
 
         terms["normal_consistency"] = normal_consistency_loss(
             params.points, static.faces, static.edge_face_pairs
@@ -151,9 +151,9 @@ def make_train_step(
         return total, metrics
 
     @jax.jit
-    def train_step(state: TrainState, batch, rng):
+    def train_step(state: TrainState, batch, rng, guidance_state=None):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng, state.step
+            state.params, batch, rng, state.step, guidance_state
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

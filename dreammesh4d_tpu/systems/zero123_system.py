@@ -71,7 +71,7 @@ def make_zero123_train_step(
     """
     bg = jnp.asarray(bg_color, jnp.float32)
 
-    def loss_fn(geo_params, batch, rng, step, level_mask, ambient_ratio):
+    def loss_fn(geo_params, batch, rng, step, level_mask, ambient_ratio, gstate):
         terms: Dict[str, jnp.ndarray] = {}
         k_ref, k_rand, k_guid = jax.random.split(rng, 3)
 
@@ -98,7 +98,7 @@ def make_zero123_train_step(
         )
         rgb_img = rand_out["comp_rgb"].reshape(B, H, W, 3)
         if guidance_fn is not None:
-            terms["sds"] = guidance_fn(k_guid, rgb_img, batch)
+            terms["sds"] = guidance_fn(gstate, k_guid, rgb_img, batch)
 
         normal_img = rand_out["comp_normal"].reshape(B, H, W, 3)
         terms["normal_smooth"] = (
@@ -128,9 +128,11 @@ def make_zero123_train_step(
         return total, metrics
 
     @jax.jit
-    def train_step(state: NeRFTrainState, batch, rng, level_mask, ambient_ratio):
+    def train_step(state: NeRFTrainState, batch, rng, level_mask, ambient_ratio,
+                   guidance_state=None):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.geo_params, batch, rng, state.step, level_mask, ambient_ratio
+            state.geo_params, batch, rng, state.step, level_mask, ambient_ratio,
+            guidance_state
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.geo_params)
         geo_params = optax.apply_updates(state.geo_params, updates)

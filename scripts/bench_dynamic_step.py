@@ -98,9 +98,15 @@ def main():
                 batch["camera_distances"], batch["frame_indices"], 0,
             )["loss_sds"]
 
+    rand_raster_cfg = None
+    if with_sds and "--sds256" in sys.argv:
+        rand_raster_cfg = RasterizerConfig(
+            256, 256, t, t, tile_capacity=768, chunk=32,
+            max_tiles_per_gaussian=8, backend="pallas_resident")
     step_fn = make_dynamic_train_step(
         params, static, def_cfg, raster_cfg, optimizer, Sugar4DGenLosses(),
         arap_w, guidance_fn=guidance_fn, video_frames=video,
+        rand_raster_cfg=rand_raster_cfg,
     )
     state = init_dyn_state(dparams, optimizer)
     ref = sampler.orbit(n_views=T, height=W, width=W)
