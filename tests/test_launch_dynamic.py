@@ -66,3 +66,27 @@ def test_dynamic_stage_launches(assets, tmp_path):
     assert os.path.isdir(os.path.join(trial, "ckpts", "step_00000003"))
     assert os.path.exists(os.path.join(trial, "configs", "parsed.yaml"))
     assert os.path.exists(os.path.join(trial, "metrics.csv"))
+
+    # 4D export: per-timestamp OBJs sharing one baked texture (resume=LAST)
+    args.train = False
+    args.export = True
+    launch.main(args, [
+        f"data.video_frames_dir={frames}",
+        "data.height=32", "data.width=32", "data.num_frames=2",
+        "data.random_camera.height=32", "data.random_camera.width=32",
+        "data.random_camera.batch_size=2",
+        "system.geometry.num_frames=8",
+        f"system.geometry.surface_mesh_to_bind_path={mesh}",
+        "system.geometry.n_dg_nodes=32", "system.geometry.dg_node_connectivity=4",
+        "system.geometry.dist_mode=eucdisc",
+        "system.geometry.deformation.base_resolution=[8,8,8,4]",
+        "system.geometry.deformation.multires=[1,2]",
+        "system.renderer.backend=xla", "system.renderer.tile_capacity=128",
+        "trainer.max_steps=3", "trainer.val_check_interval=100",
+        f"exp_root_dir={tmp_path}/out", "use_timestamp=false", "tag=dyn",
+        "resume=LAST",
+    ])
+    objs = []
+    for root, _, files in os.walk(os.path.join(trial, "save")):
+        objs += [f for f in files if f.endswith(".obj")]
+    assert len(objs) >= 8, objs  # one deformed mesh per video frame
