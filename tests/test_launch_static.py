@@ -1,0 +1,51 @@
+"""Drive sugar_static_refine through launch.py (tiny CPU run, synthetic ref
+image + icosphere bind mesh, no SDS checkpoint)."""
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def test_static_refine_launches(tmp_path):
+    import imageio.v2 as imageio
+
+    from dreammesh4d_tpu.export.mesh_io import MeshData, save_ply_mesh
+    from dreammesh4d_tpu.utils.procedural import make_icosphere
+
+    rgba = np.zeros((48, 48, 4), np.uint8)
+    rgba[12:36, 12:36] = [90, 160, 220, 255]
+    img = str(tmp_path / "obj_rgba.png")
+    imageio.imwrite(img, rgba)
+    m = make_icosphere(2, radius=0.6)
+    mesh = str(tmp_path / "mesh.ply")
+    save_ply_mesh(mesh, MeshData(v_pos=np.asarray(m.v_pos),
+                                 t_pos_idx=np.asarray(m.t_pos_idx)))
+
+    import launch
+
+    class Args:
+        train = True
+        validate = test = export = False
+        typecheck = False
+        platform = "cpu"
+        gpu = "0"
+
+    args = Args()
+    args.config = os.path.join(REPO, "configs/sugar_static_refine.yaml")
+    launch.main(args, [
+        f"data.image_path={img}",
+        "data.height=32", "data.width=32",
+        "data.random_camera.height=32", "data.random_camera.width=32",
+        "data.random_camera.batch_size=2",
+        f"system.geometry.surface_mesh_to_bind_path={mesh}",
+        "system.renderer.backend=xla", "system.renderer.tile_capacity=128",
+        "trainer.max_steps=3", "trainer.val_check_interval=100",
+        f"exp_root_dir={tmp_path}/out", "use_timestamp=false", "tag=ref",
+    ])
+    trial = os.path.join(str(tmp_path), "out", "sugar-refine", "ref")
+    assert os.path.isdir(os.path.join(trial, "ckpts", "step_00000003"))
+    assert os.path.exists(os.path.join(trial, "metrics.csv"))
