@@ -53,6 +53,16 @@ def fits_resident(n_gaussians: int) -> bool:
 ALIGN = 1024  # VMEM 1-D int32 tiling: dynamic slices must be 1024-aligned
 
 
+def dma_window(cap: int) -> int:
+    """Size of the aligned pair-segment DMA window for a tile capacity.
+
+    The window starts at ``start`` rounded DOWN to ALIGN and must cover
+    ``cap`` entries past the unrounded start; Mosaic additionally requires
+    the slice SIZE itself to be ALIGN-aligned (cap=768 lowered a 1792-sized
+    slice and failed to compile), so round (cap + ALIGN) up to ALIGN."""
+    return ((cap + ALIGN + ALIGN - 1) // ALIGN) * ALIGN
+
+
 def _read_group_rows(table_ref, idx_smem, base, g0, group):
     rows = [table_ref[idx_smem[base + g0 + j], :] for j in range(group)]
     return jnp.stack(rows, 0)  # (group, ROW)
@@ -71,7 +81,7 @@ def _fwd_kernel(n_channels: int, cap: int, group: int,
     start_al = (start // ALIGN) * ALIGN
     base = start - start_al
     dma = pltpu.make_async_copy(
-        pairs_hbm.at[pl.ds(start_al, cap + ALIGN)], idx_smem, sem
+        pairs_hbm.at[pl.ds(start_al, dma_window(cap))], idx_smem, sem
     )
     dma.start()
     dma.wait()
@@ -115,7 +125,7 @@ def _bwd_kernel(n_channels: int, cap: int, group: int,
     start_al = (start // ALIGN) * ALIGN
     base = start - start_al
     dma = pltpu.make_async_copy(
-        pairs_hbm.at[pl.ds(start_al, cap + ALIGN)], idx_smem, sem
+        pairs_hbm.at[pl.ds(start_al, dma_window(cap))], idx_smem, sem
     )
     dma.start()
     dma.wait()
@@ -207,7 +217,7 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int,
     start_al = (start // ALIGN) * ALIGN
     base = start - start_al
     dma = pltpu.make_async_copy(
-        pairs_hbm.at[pl.ds(start_al, cap + ALIGN)], idx_smem, sem
+        pairs_hbm.at[pl.ds(start_al, dma_window(cap))], idx_smem, sem
     )
     dma.start()
     dma.wait()
@@ -296,7 +306,7 @@ def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
     rows = _pack_rows(means2d, conics, colors, opacities)  # (N+1, ROW)
     N = means2d.shape[0]
     # pad the pair array so ds(start, cap) never overruns
-    pairs = jnp.concatenate([sorted_gauss, jnp.full((cap + 1024,), N, jnp.int32)], 0)
+    pairs = jnp.concatenate([sorted_gauss, jnp.full((dma_window(cap),), N, jnp.int32)], 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -307,7 +317,7 @@ def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
         ],
         out_specs=pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((cap + 1024,), jnp.int32), pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[pltpu.SMEM((dma_window(cap),), jnp.int32), pltpu.SemaphoreType.DMA(())],
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, C, cap, group),
@@ -350,7 +360,7 @@ def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, res, cot):
         out_specs=pl.BlockSpec((N + 1, ROW), lambda i, *_: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((cap + 1024,), jnp.int32),
+            pltpu.SMEM((dma_window(cap),), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -398,7 +408,7 @@ def _bwd_rule(W, H, n_channels, cap, interpret, group, res, cot):
         out_specs=pl.BlockSpec((1, cap, ROW), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((cap + 1024,), jnp.int32),
+            pltpu.SMEM((dma_window(cap),), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
