@@ -100,12 +100,14 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     state, m = step_fn(state, batch, rng, lm, 0.5, gstate)
-    jax.block_until_ready(m)
+    jax.block_until_ready(state)
+    print("loss_total:", float(m["loss_total"]), "psnr:", float(m["psnr"]))
     n_iter = 10
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        state, m = step_fn(state, batch, rng, lm, 0.5, gstate)
-    jax.block_until_ready(m)
+    for i in range(n_iter):
+        rng_i = jax.random.fold_in(rng, i)
+        state, m = step_fn(state, batch, rng_i, lm, 0.5, gstate)
+    jax.block_until_ready(state)
     dt = (time.perf_counter() - t0) / n_iter
     print(f"nerf step @ {hw}^2 x{B} (sds={with_sds}, bf16={bf16}): "
           f"{dt*1e3:.1f} ms -> 600 steps = {dt*600:.1f} s")
