@@ -17,9 +17,10 @@ jitted step with stacked camera transforms (CameraBatch) + ray bundles.
 
 from __future__ import annotations
 
+import bisect
 import math
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -33,9 +34,13 @@ from ..utils.schedule import C
 
 @dataclass
 class RandomCameraConfig:
-    height: int = 512
-    width: int = 512
-    batch_size: int = 4
+    # height/width/batch_size may be lists paired with resolution_milestones
+    # (reference trains the static stage 64²→128²→256² with batch 8/4/2,
+    # configs/stable-zero123.yaml:19-22 + uncond.py:116-141)
+    height: Any = 512
+    width: Any = 512
+    batch_size: Any = 4
+    resolution_milestones: Tuple[int, ...] = ()
     eval_height: int = 512
     eval_width: int = 512
     eval_batch_size: int = 1
@@ -80,10 +85,30 @@ class RandomCameraSampler:
         self.rng = np.random.RandomState(seed)
         self.elevation_range = list(cfg.elevation_range)
         self.azimuth_range = list(cfg.azimuth_range)
+        # resolution milestone schedule (uncond.py:116-141): list-valued
+        # height/width/batch_size switch at the milestone steps
+        self.heights = cfg.height if isinstance(cfg.height, (list, tuple)) else [cfg.height]
+        self.widths = cfg.width if isinstance(cfg.width, (list, tuple)) else [cfg.width]
+        self.batch_sizes = (cfg.batch_size if isinstance(cfg.batch_size, (list, tuple))
+                            else [cfg.batch_size])
+        n = max(len(self.heights), len(self.batch_sizes))
+        self.heights = list(self.heights) + [self.heights[-1]] * (n - len(self.heights))
+        self.widths = list(self.widths) + [self.widths[-1]] * (n - len(self.widths))
+        self.batch_sizes = list(self.batch_sizes) + [self.batch_sizes[-1]] * (
+            n - len(self.batch_sizes))
+        self.milestones = [-1] + list(cfg.resolution_milestones)[: n - 1]
+        self.height = int(self.heights[0])
+        self.width = int(self.widths[0])
+        self.batch_size = int(self.batch_sizes[0])
 
     def update(self, step: int):
-        """Progressive view widening (uncond.py:122-141)."""
+        """Progressive view widening (uncond.py:122-141) + resolution
+        milestones (uncond.py:116-141)."""
         cfg = self.cfg
+        i = bisect.bisect_right(self.milestones, step) - 1
+        self.height = int(self.heights[i])
+        self.width = int(self.widths[i])
+        self.batch_size = int(self.batch_sizes[i])
         if cfg.progressive_until > 0:
             r = min(1.0, step / cfg.progressive_until)
             self.elevation_range = [
@@ -97,7 +122,7 @@ class RandomCameraSampler:
 
     def sample(self, batch_size: Optional[int] = None) -> dict:
         cfg = self.cfg
-        B = batch_size or cfg.batch_size
+        B = batch_size or self.batch_size
         rng = self.rng
 
         # elevation: 50/50 uniform-angle / uniform-on-sphere (uncond.py:147-172)
@@ -157,8 +182,8 @@ class RandomCameraSampler:
 
         directions = [
             np.asarray(
-                cam_ops.get_ray_directions(cfg.height, cfg.width,
-                                           0.5 * cfg.height / math.tan(0.5 * f))
+                cam_ops.get_ray_directions(self.height, self.width,
+                                           0.5 * self.height / math.tan(0.5 * f))
             )
             for f in fovy
         ]
@@ -177,8 +202,8 @@ class RandomCameraSampler:
             "camera_distances": jnp.asarray(distances, jnp.float32),
             "light_positions": jnp.asarray(light_positions),
             "fovy": jnp.asarray(fovy, jnp.float32),
-            "height": cfg.height,
-            "width": cfg.width,
+            "height": self.height,
+            "width": self.width,
         }
 
     def mask_ray_directions(self, H: int, W: int, s_H: int, s_W: int) -> np.ndarray:
@@ -200,9 +225,8 @@ class RandomCameraSampler:
         cameras at full (height, width) resolution, but rays subsampled to a
         (sample_height, sample_width) offset grid — `ray_indices` maps them
         back into the full image for supervision crops."""
-        cfg = self.cfg
         batch = self.sample(batch_size)
-        H, W = cfg.height, cfg.width
+        H, W = self.height, self.width
         idx = self.mask_ray_directions(H, W, sample_height, sample_width)
         B = batch["rays_o"].shape[0]
         ro = batch["rays_o"].reshape(B, H * W, 3)[:, idx].reshape(

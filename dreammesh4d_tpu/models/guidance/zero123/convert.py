@@ -197,7 +197,10 @@ def convert_vae(sd: Dict[str, Any], ch_mult=(1, 2, 4, 4), num_res_blocks=2) -> D
 
 def load_zero123_checkpoint(path: str, modules) -> Dict[str, Any]:
     """Load a torch Stable-Zero123 ``.ckpt`` and convert every component the
-    guidance needs (UNet, VAE, cc_projection, CLIP vision tower)."""
+    guidance needs (UNet, VAE, cc_projection, CLIP vision tower).
+
+    Architecture dims (channel_mult, res blocks) come from ``modules.cfg`` so
+    tiny test checkpoints convert the same way as the shipped 320-ch model."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -209,9 +212,12 @@ def load_zero123_checkpoint(path: str, modules) -> Dict[str, Any]:
     vae_sd = {k[len("first_stage_model."):]: v for k, v in sd.items()
               if k.startswith("first_stage_model.")}
 
+    cfg = modules.cfg
     params: Dict[str, Any] = {
-        "unet": convert_unet(unet_sd),
-        "vae": convert_vae(vae_sd),
+        "unet": convert_unet(unet_sd, channel_mult=tuple(cfg.channel_mult),
+                             num_res_blocks=cfg.num_res_blocks),
+        "vae": convert_vae(vae_sd, ch_mult=tuple(cfg.vae_ch_mult),
+                           num_res_blocks=cfg.vae_num_res_blocks),
         "cc_projection": {
             "kernel": _t(sd["cc_projection.weight"]).T,
             "bias": _t(sd["cc_projection.bias"]),
@@ -221,6 +227,11 @@ def load_zero123_checkpoint(path: str, modules) -> Dict[str, Any]:
     clip_sd = {k[len(clip_prefix):]: v for k, v in sd.items() if k.startswith(clip_prefix)}
     if clip_sd and modules.clip is not None:
         params["clip"] = convert_clip_vision(clip_sd, modules)
+    elif modules.clip is None:
+        # test/stub configs (use_clip=False): deterministic mean-color
+        # projector so prepare_embeddings stays runnable
+        rng = np.random.default_rng(0)
+        params["clip_proj"] = rng.normal(0, 0.02, (3, cfg.context_dim)).astype(np.float32)
     return params
 
 

@@ -64,6 +64,8 @@ class Zero123Config:
     num_heads: int = 8
     context_dim: int = 768
     vae_ch: int = 128
+    vae_ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    vae_num_res_blocks: int = 2
     latent_size: int = 32
     image_size: int = 256
     dtype: Any = jnp.float32
@@ -80,7 +82,10 @@ class Zero123Modules:
             channel_mult=cfg.channel_mult, num_res_blocks=cfg.num_res_blocks,
             num_heads=cfg.num_heads, dtype=cfg.dtype,
         )
-        self.vae = AutoencoderKL(embed_dim=4, dtype=cfg.dtype)
+        self.vae = AutoencoderKL(
+            embed_dim=4, ch=cfg.vae_ch, ch_mult=tuple(cfg.vae_ch_mult),
+            num_res_blocks=cfg.vae_num_res_blocks, dtype=cfg.dtype,
+        )
         self.clip = CLIPImageEncoder(dtype=cfg.dtype) if cfg.use_clip else None
         self.schedule = make_schedule(cfg.num_train_timesteps)
 

@@ -35,7 +35,13 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) ->
 
 class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in fp32 regardless of activation dtype
-    (parity with extern/ldm_zero123/modules/diffusionmodules/util.py:242-244)."""
+    (parity with extern/ldm_zero123/modules/diffusionmodules/util.py:242-244).
+
+    ``eps``: 1e-5 for UNet res blocks (torch nn.GroupNorm default via
+    openaimodel normalization()), 1e-6 for the spatial-transformer and VAE
+    norms (attention.py:77-78 / model.py:39-42 Normalize)."""
+
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
@@ -46,7 +52,7 @@ class GroupNorm32(nn.Module):
         groups = min(32, C)
         while C % groups != 0:
             groups -= 1
-        x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32,
+        x = nn.GroupNorm(num_groups=groups, epsilon=self.eps, dtype=jnp.float32,
                          param_dtype=jnp.float32)(x.astype(jnp.float32))
         return x.astype(orig)
 
@@ -117,7 +123,8 @@ class LayerNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
-        return nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32)(
+        # epsilon 1e-5 = torch nn.LayerNorm default (attention.py:222-224)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32)(
             x.astype(jnp.float32)
         ).astype(orig)
 
@@ -142,7 +149,7 @@ class SpatialTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         B, H, W, C = x.shape
-        h = GroupNorm32(name="norm")(x)
+        h = GroupNorm32(eps=1e-6, name="norm")(x)
         h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(B, H * W, C)
         for i in range(self.depth):

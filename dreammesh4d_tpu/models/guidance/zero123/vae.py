@@ -25,10 +25,10 @@ class VAEResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = GroupNorm32(name="norm1")(x)
+        h = GroupNorm32(eps=1e-6, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm32(name="norm2")(h)
+        h = GroupNorm32(eps=1e-6, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
@@ -44,7 +44,7 @@ class VAEAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = GroupNorm32(name="norm")(x)
+        h = GroupNorm32(eps=1e-6, name="norm")(x)
         q = nn.Conv(C, (1, 1), dtype=self.dtype, name="q")(h).reshape(B, H * W, C)
         k = nn.Conv(C, (1, 1), dtype=self.dtype, name="k")(h).reshape(B, H * W, C)
         v = nn.Conv(C, (1, 1), dtype=self.dtype, name="v")(h).reshape(B, H * W, C)
@@ -78,7 +78,7 @@ class Encoder(nn.Module):
         h = VAEResBlock(ch, self.dtype, name="mid_res1")(h)
         h = VAEAttnBlock(self.dtype, name="mid_attn")(h)
         h = VAEResBlock(ch, self.dtype, name="mid_res2")(h)
-        h = GroupNorm32(name="norm_out")(h)
+        h = GroupNorm32(eps=1e-6, name="norm_out")(h)
         h = nn.silu(h)
         out_ch = self.z_channels * (2 if self.double_z else 1)
         return nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
@@ -105,18 +105,23 @@ class Decoder(nn.Module):
                 B, H, W, C = h.shape
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), "nearest")
                 h = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype, name=f"up_{level}_us")(h)
-        h = GroupNorm32(name="norm_out")(h)
+        h = GroupNorm32(eps=1e-6, name="norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
 
 
 class AutoencoderKL(nn.Module):
     embed_dim: int = 4
+    ch: int = 128
+    ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.encoder = Encoder(dtype=self.dtype)
-        self.decoder = Decoder(dtype=self.dtype)
+        self.encoder = Encoder(ch=self.ch, ch_mult=self.ch_mult,
+                               num_res_blocks=self.num_res_blocks, dtype=self.dtype)
+        self.decoder = Decoder(ch=self.ch, ch_mult=self.ch_mult,
+                               num_res_blocks=self.num_res_blocks, dtype=self.dtype)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1), dtype=self.dtype)
         self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype)
 

@@ -16,8 +16,9 @@ Everything vmaps over rays and jits; ray batches are (R, 3) flat.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
-from typing import Any, Dict, Optional
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,63 @@ class NeRFRendererConfig:
     # backward — 4 views @128² x 128 samples measured 35 GB on a 16 GB chip.
     # 0 disables (tiny-test path).
     ray_chunk_train: int = 8192
+    # "importance" = coarse+fine PDF sampling; "occgrid" = occupancy-grid
+    # empty-space skipping (nerfacc OccGridEstimator parity,
+    # nerf_volume_renderer.py:136-180,430-448) with STATIC shapes: march
+    # ``occ_candidates`` cheap grid lookups per ray, keep the first
+    # ``occ_samples`` occupied ones for geometry evaluation.
+    estimator: str = "importance"
+    grid_resolution: int = 32
+    occ_candidates: int = 192
+    occ_samples: int = 64
+    occ_thre: float = 0.01
+    grid_decay: float = 0.95
+    grid_update_every: int = 16
+
+
+class OccGridState(NamedTuple):
+    occ: jnp.ndarray  # (res^3,) running occupancy (alpha estimate)
+    binary: jnp.ndarray  # (res^3,) float32 0/1
+
+
+def init_occgrid(rcfg: NeRFRendererConfig) -> OccGridState:
+    n = rcfg.grid_resolution ** 3
+    # start fully occupied: dense sampling until the first update
+    return OccGridState(jnp.zeros((n,), jnp.float32), jnp.ones((n,), jnp.float32))
+
+
+def make_occgrid_update(geo_cfg: ImplicitVolumeConfig, rcfg: NeRFRendererConfig):
+    """Jitted occupancy update (nerfacc update_every_n_steps semantics,
+    nerf_volume_renderer.py:430-448): occ <- max(occ*decay, sigma*step) at
+    jittered cell centers; binarize against min(mean, occ_thre)."""
+    res = rcfg.grid_resolution
+    r = rcfg.radius
+    cell = 2.0 * r / res
+    ax = (jnp.arange(res) + 0.5) / res * 2.0 * r - r
+    gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    centers = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)  # (res^3, 3)
+    # nerfacc occ_eval_fn: sigma * render_step_size
+    march_step = 2.0 * math.sqrt(3.0) * r / max(rcfg.occ_candidates, 1)
+
+    @jax.jit
+    def update(state: OccGridState, geo_params, rng, level_mask=None):
+        jitter = (jax.random.uniform(rng, centers.shape) - 0.5) * cell
+        sigma, _ = forward_field(geo_params, geo_cfg, centers + jitter, level_mask)
+        occ_new = sigma[:, 0] * march_step
+        occ = jnp.maximum(state.occ * rcfg.grid_decay, occ_new)
+        thresh = jnp.minimum(occ.mean(), rcfg.occ_thre)
+        return OccGridState(occ, (occ > thresh).astype(jnp.float32))
+
+    return update
+
+
+def _occgrid_lookup(binary: jnp.ndarray, pts: jnp.ndarray, radius: float,
+                    res: int) -> jnp.ndarray:
+    """Nearest-cell occupancy for (..., 3) points -> (...) float 0/1."""
+    ijk = jnp.clip(((pts + radius) / (2.0 * radius) * res).astype(jnp.int32),
+                   0, res - 1)
+    flat = (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+    return binary[flat]
 
 
 def ray_bbox_intersect(rays_o, rays_d, radius: float, near: float):
@@ -99,6 +157,8 @@ def render_rays(
     shading_normal_only: bool = False,
     level_mask=None,
     material=None,
+    return_normal_perturb: bool = False,
+    occ_state: Optional[OccGridState] = None,
 ) -> Dict[str, jnp.ndarray]:
     R = rays_o.shape[0]
     chunk = rcfg.ray_chunk_train
@@ -133,6 +193,8 @@ def render_rays(
                 ambient_ratio=ambient_ratio,
                 shading_normal_only=shading_normal_only,
                 level_mask=level_mask, material=material,
+                return_normal_perturb=return_normal_perturb,
+                occ_state=occ_state,
             )
 
         out = jax.lax.map(jax.checkpoint(chunk_fn), (idx, ro, rd, lp, bgs))
@@ -146,29 +208,57 @@ def render_rays(
     if rng is not None and rcfg.randomized:
         k1, k2 = jax.random.split(rng)
 
-    # coarse: stratified uniform
-    su = (jnp.arange(S1 + 1) / S1)[None, :]
-    bins = t_near[:, None] + (t_far - t_near)[:, None] * su  # (R, S1+1)
-    if k1 is not None:
-        jitter = jax.random.uniform(k1, (R, S1)) / S1
-        t_coarse = bins[:, :-1] + (t_far - t_near)[:, None] * jitter
+    if rcfg.estimator == "occgrid" and occ_state is not None:
+        # occupancy-grid empty-space skipping with static shapes: S cheap
+        # grid lookups per ray, geometry evaluated at only the FIRST K
+        # occupied samples (nerfacc OccGridEstimator.sampling parity,
+        # nerf_volume_renderer.py:136-180)
+        S, K = rcfg.occ_candidates, rcfg.occ_samples
+        su = (jnp.arange(S) + 0.5) / S
+        if k1 is not None:
+            su = (jnp.arange(S)[None] + jax.random.uniform(k1, (R, S))) / S
+        else:
+            su = jnp.broadcast_to(su[None], (R, S))
+        t_cand = t_near[:, None] + (t_far - t_near)[:, None] * su  # (R, S)
+        pts_cand = rays_o[:, None] + t_cand[..., None] * rays_d[:, None]
+        occ = _occgrid_lookup(occ_state.binary, pts_cand, rcfg.radius,
+                              rcfg.grid_resolution)  # (R, S) 0/1
+        # first-K-occupied selection: occupied candidates keep their index,
+        # unoccupied are pushed past S — one argsort, order preserved
+        idx = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+        sel = jnp.argsort(jnp.where(occ > 0.5, idx, idx + S), axis=-1)[:, :K]
+        t_all = jnp.take_along_axis(t_cand, sel, -1)  # (R, K)
+        occ_sel = jnp.take_along_axis(occ, sel, -1)
+        pts = rays_o[:, None] + t_all[..., None] * rays_d[:, None]
+        density, features, normal = forward_with_normal(
+            geo_params, geo_cfg, pts, level_mask)
+        density = density * occ_sel[..., None]  # zero out filler samples
+        dt = jnp.broadcast_to(((t_far - t_near) / S)[:, None], t_all.shape)
+        weights, opacity = _composite(density, dt)
     else:
-        t_coarse = 0.5 * (bins[:, :-1] + bins[:, 1:])
-    pts_coarse = rays_o[:, None] + t_coarse[..., None] * rays_d[:, None]
-    sigma_coarse, _ = forward_field(geo_params, geo_cfg, pts_coarse, level_mask)
-    sigma_coarse = jax.lax.stop_gradient(sigma_coarse)
-    dt_coarse = jnp.diff(bins, axis=-1)
-    w_coarse, _ = _composite(sigma_coarse, dt_coarse)
+        # coarse: stratified uniform
+        su = (jnp.arange(S1 + 1) / S1)[None, :]
+        bins = t_near[:, None] + (t_far - t_near)[:, None] * su  # (R, S1+1)
+        if k1 is not None:
+            jitter = jax.random.uniform(k1, (R, S1)) / S1
+            t_coarse = bins[:, :-1] + (t_far - t_near)[:, None] * jitter
+        else:
+            t_coarse = 0.5 * (bins[:, :-1] + bins[:, 1:])
+        pts_coarse = rays_o[:, None] + t_coarse[..., None] * rays_d[:, None]
+        sigma_coarse, _ = forward_field(geo_params, geo_cfg, pts_coarse, level_mask)
+        sigma_coarse = jax.lax.stop_gradient(sigma_coarse)
+        dt_coarse = jnp.diff(bins, axis=-1)
+        w_coarse, _ = _composite(sigma_coarse, dt_coarse)
 
-    # fine: importance resample + merge + sort
-    t_fine = sample_pdf(bins, w_coarse, S2, k2)
-    t_all = jnp.sort(jnp.concatenate([t_coarse, t_fine], -1), -1)  # (R, S1+S2)
-    pts = rays_o[:, None] + t_all[..., None] * rays_d[:, None]
-    density, features, normal = forward_with_normal(geo_params, geo_cfg, pts, level_mask)
+        # fine: importance resample + merge + sort
+        t_fine = sample_pdf(bins, w_coarse, S2, k2)
+        t_all = jnp.sort(jnp.concatenate([t_coarse, t_fine], -1), -1)  # (R, S1+S2)
+        pts = rays_o[:, None] + t_all[..., None] * rays_d[:, None]
+        density, features, normal = forward_with_normal(geo_params, geo_cfg, pts, level_mask)
 
-    dt = jnp.diff(t_all, axis=-1)
-    dt = jnp.concatenate([dt, jnp.full_like(dt[:, :1], 1e-3)], -1)
-    weights, opacity = _composite(density, dt)
+        dt = jnp.diff(t_all, axis=-1)
+        dt = jnp.concatenate([dt, jnp.full_like(dt[:, :1], 1e-3)], -1)
+        weights, opacity = _composite(density, dt)
 
     # shading; n_feature_dims may exceed 3 (latentnerf renders 4 latent
     # channels straight through, latentnerf.py rgb_as_latents path)
@@ -195,7 +285,7 @@ def render_rays(
     bg = jnp.broadcast_to(bg_color, comp_rgb_fg.shape)
     comp_rgb = comp_rgb_fg + (1.0 - opacity) * bg
 
-    return {
+    out = {
         "comp_rgb": comp_rgb,
         "comp_rgb_fg": comp_rgb_fg,
         "comp_normal": comp_normal * 0.5 + 0.5,
@@ -206,6 +296,15 @@ def render_rays(
         "normal": normal,
         "t_dirs": jnp.broadcast_to(rays_d[:, None], normal.shape),
     }
+    if return_normal_perturb:
+        # normals at positions + N(0, 1e-2) noise — the 3d_normal_smooth
+        # target (reference nerf_volume_renderer.py:406-411)
+        k_pert = rng if rng is not None else jax.random.PRNGKey(0)
+        noise = jax.random.normal(k_pert, pts.shape) * 1e-2
+        _, _, normal_perturb = forward_with_normal(
+            geo_params, geo_cfg, pts + noise, level_mask)
+        out["normal_perturb"] = normal_perturb
+    return out
 
 
 def make_image_renderer(geo_cfg, rcfg, material=None, ray_chunk: int = 16384):

@@ -70,8 +70,14 @@ def make_temporal_datamodule(data_cfg: dict, seed: int) -> TemporalImageDataModu
     return TemporalImageDataModule(c, seed)
 
 
-def build_raster_config(height: int, width: int, fovy_deg: float,
+def build_raster_config(height, width, fovy_deg: float,
                         system_cfg: dict) -> RasterizerConfig:
+    # list-valued (milestone) sizes: rasterize at the final resolution
+    if isinstance(height, (list, tuple)):
+        height = height[-1]
+    if isinstance(width, (list, tuple)):
+        width = width[-1]
+    height, width = int(height), int(width)
     t = math.tan(math.radians(fovy_deg) / 2)
     r = system_cfg.get("renderer", {})
     return RasterizerConfig(
@@ -183,7 +189,7 @@ class GaussianStageExperiment:
                 gp, bk = gstate
                 return guidance.sds_loss(
                     gp, bk, rng, rgb, batch["elevation"], batch["azimuth"],
-                    batch["camera_distances"], None, 0,
+                    batch["camera_distances"], None, batch["step"],
                 )["loss_sds"]
 
         self._train_step, self._density_step = make_gaussian_train_step(
@@ -324,7 +330,7 @@ class SugarStaticExperiment:
                 gp, bk = gstate
                 return guidance.sds_loss(
                     gp, bk, rng, rgb, batch["elevation"], batch["azimuth"],
-                    batch["camera_distances"], None, batch.get("step", 0),
+                    batch["camera_distances"], None, batch["step"],
                 )["loss_sds"]
 
         ref_raster_cfg = build_raster_config(
@@ -430,19 +436,32 @@ class Sugar4DGenExperiment:
         })
         sugar_params, sugar_static = create_sugar(sugar_cfg, mesh)
 
-        # cross-stage weight transfer (system.weights=<static ckpt>)
+        # cross-stage weight transfer (system.weights=<static ckpt>).  A
+        # mismatch here (e.g. wrong bind mesh) must be a HARD error — silently
+        # discarding the refined appearance and training from mesh-derived
+        # init would be a materially different run (reference loads via
+        # load_state_dict, which raises on shape mismatch,
+        # sugar_static.py:71-82).
         weights = cfg.system.get("weights")
         if weights:
             from ..utils.checkpoint import restore_checkpoint
 
-            try:
-                prev = restore_checkpoint(str(weights), None)
-                sugar_params = jax.tree.map(
-                    jnp.asarray, type(sugar_params)(**prev["params"])
-                ) if "params" in prev else sugar_params
-                ds.info("Loaded static SuGaR weights from %s", weights)
-            except Exception as e:  # noqa: BLE001
-                ds.warn("Failed to load weights %s: %s", weights, e)
+            prev = restore_checkpoint(str(weights), None)
+            if "params" not in prev:
+                raise ValueError(
+                    f"system.weights={weights!r} has no 'params' entry — not a "
+                    "static SuGaR checkpoint")
+            loaded = jax.tree.map(jnp.asarray, type(sugar_params)(**prev["params"]))
+            for name in sugar_params._fields:
+                want = getattr(sugar_params, name).shape
+                got = getattr(loaded, name).shape
+                if want != got:
+                    raise ValueError(
+                        f"system.weights={weights!r}: shape mismatch for "
+                        f"{name!r}: checkpoint {got} vs bind mesh {want} — "
+                        "was the static stage trained on a different mesh?")
+            sugar_params = loaded
+            ds.info("Loaded static SuGaR weights from %s", weights)
 
         deform_cfg = _filtered_dataclass(DeformationConfig, dict(geo_cfg_d.get("deformation", {})))
         dyn_cfg = DynamicSuGaRConfig(
@@ -490,7 +509,7 @@ class Sugar4DGenExperiment:
                 gp, bk = gstate
                 return guidance.sds_loss(
                     gp, bk, rng, rgb, batch["elevation"], batch["azimuth"],
-                    batch["camera_distances"], batch["frame_indices"], 0,
+                    batch["camera_distances"], batch["frame_indices"], batch["step"],
                 )["loss_sds"]
 
         freq = dict(system.get("freq", {}))
@@ -652,7 +671,18 @@ class Zero123Experiment:
             normal_type=str(geo_d.get("normal_type", "analytic")),
             hashgrid=hg,
         )
-        self.rcfg = NeRFRendererConfig(radius=self.geo_cfg.radius)
+        rend = dict(system.get("renderer", {}))
+        self.rcfg = NeRFRendererConfig(
+            radius=self.geo_cfg.radius,
+            num_samples_coarse=int(rend.get("num_samples_coarse", 64)),
+            num_samples_fine=int(rend.get("num_samples_fine", 64)),
+            estimator=str(rend.get("estimator", "importance")),
+            grid_resolution=int(rend.get("grid_resolution", 32)),
+            occ_candidates=int(rend.get("occ_candidates", 192)),
+            occ_samples=int(rend.get("occ_samples", 64)),
+            occ_thre=float(rend.get("occ_thre", 0.01)),
+            grid_update_every=int(rend.get("grid_update_every", 16)),
+        )
         self.material = DiffuseWithPointLightMaterial()
         self.hg = hg
 
@@ -681,7 +711,7 @@ class Zero123Experiment:
                 gp, bk = gstate
                 return guidance.sds_loss(
                     gp, bk, rng, rgb, batch["elevation"], batch["azimuth"],
-                    batch["camera_distances"], None, 0,
+                    batch["camera_distances"], None, batch["step"],
                 )["loss_sds"]
 
         self._train_step = make_zero123_train_step(
@@ -693,10 +723,21 @@ class Zero123Experiment:
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
         self.ambient_only_steps = int(system.get("material", {}).get("ambient_only_steps", 0))
 
+        # occupancy-grid estimator state (nerfacc update_every_n_steps parity)
+        self.occ_state = None
+        self._occ_update = None
+        if self.rcfg.estimator == "occgrid":
+            from ..models.renderers.nerf_volume_renderer import (
+                init_occgrid,
+                make_occgrid_update,
+            )
+
+            self.occ_state = init_occgrid(self.rcfg)
+            self._occ_update = make_occgrid_update(self.geo_cfg, self.rcfg)
+
     def train_step(self, step: int) -> Dict[str, float]:
-        batch = self.data.train_batch(step)
+        batch = self.data.train_batch(step)  # applies resolution milestones
         ref = self.data.ref_batch()
-        H = W = 64  # rand-view training resolution (stable-zero123.yaml batches)
         rand = batch
         b = {
             "ref_rays_o": ref["ref_rays_o"].reshape(-1, 3),
@@ -711,11 +752,19 @@ class Zero123Experiment:
             "azimuth": rand["azimuth"],
             "camera_distances": rand["camera_distances"],
         }
+        if "ref_depth" in ref:
+            b["ref_depth"] = ref["ref_depth"].reshape(-1, 1)
+        if "ref_normal" in ref:
+            b["ref_normal"] = ref["ref_normal"].reshape(-1, 3)
         lm = jnp.asarray(progressive_level_mask(self.hg, step))
         ambient = 1.0 if step < self.ambient_only_steps else 0.1 + 0.9 * float(np.random.rand())
+        if self._occ_update is not None and step % self.rcfg.grid_update_every == 0:
+            self.rng, k_occ = jax.random.split(self.rng)
+            self.occ_state = self._occ_update(self.occ_state, self.state.geo_params,
+                                              k_occ, lm)
         self.rng, k = jax.random.split(self.rng)
         self.state, metrics = self._train_step(self.state, b, k, lm, ambient,
-                                               self._gstate)
+                                               self._gstate, self.occ_state)
         return metrics
 
     def validate(self, step: int, test: bool = False) -> None:

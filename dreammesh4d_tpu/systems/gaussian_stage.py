@@ -182,7 +182,8 @@ def make_gaussian_train_step(
         rb = batch["rand_cameras"]
         rand_out = jax.vmap(rand_one)(rb.world_view, rb.full_proj, rb.camera_center)
         if guidance_fn is not None:
-            terms["sds"] = guidance_fn(gstate, rng_guid, jnp.clip(rand_out.rgb, 0, 1), batch)
+            terms["sds"] = guidance_fn(gstate, rng_guid, jnp.clip(rand_out.rgb, 0, 1),
+                                       {**batch, "step": step})
         terms["rgb_tv"] = tv_loss(rand_out.rgb)
 
         visibility = (ref_out.radii > 0).any(0) | (rand_out.radii > 0).any(0)

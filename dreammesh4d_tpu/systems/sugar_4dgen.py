@@ -177,7 +177,8 @@ def make_dynamic_train_step(
                                        with_normals=rand_normals)
         if guidance_fn is not None:
             terms["sds_zero123"] = guidance_fn(gstate, rng_guid,
-                                               rand_out["comp_rgb"], batch)
+                                               rand_out["comp_rgb"],
+                                               {**batch, "step": step})
         if not _static_zero(losses.lambda_rgb_tv):
             terms["rgb_tv"] = tv_loss(rand_out["comp_rgb"])
         if rand_normals:

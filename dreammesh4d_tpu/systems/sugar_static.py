@@ -118,7 +118,8 @@ def make_train_step(
             static.sh_degree, gs_normals, batch["rand_cameras"], train_bg, raster_cfg,
         )
         if guidance_fn is not None:
-            terms["sds"] = guidance_fn(gstate, rng_guid, rand_out["comp_rgb"], batch)
+            terms["sds"] = guidance_fn(gstate, rng_guid, rand_out["comp_rgb"],
+                                       {**batch, "step": step})
 
         terms["normal_consistency"] = normal_consistency_loss(
             params.points, static.faces, static.edge_face_pairs
