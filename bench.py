@@ -18,6 +18,9 @@ import numpy as np
 A100_REFERENCE_FPS = 250.0
 
 
+SCOPED_VMEM_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "112640"}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -62,7 +65,7 @@ def main():
         "p": p, "quats": quats, "log_scales": log_scales, "colors": colors,
         "op_logit": jnp.full((N,), 2.0),
     }
-    step = jax.jit(jax.grad(loss_fn))
+    step = jax.jit(jax.grad(loss_fn), compiler_options=SCOPED_VMEM_OPTS)
     g = jax.block_until_ready(step(params))  # compile
 
     n_iter = 20

@@ -168,18 +168,26 @@ def bin_gaussians_pairs(
     scale = ((1 << depth_bits) - 1) / jnp.maximum(d_hi - d_lo, 1e-6)
     qdepth = jnp.clip(((depths - d_lo) * scale), 0, (1 << depth_bits) - 1).astype(jnp.int32)
 
-    m = jnp.arange(M, dtype=jnp.int32)[None, :]
-    sw = jnp.maximum(span_w, 1)[:, None]
+    # (M, N) layout: N rides the TPU lane axis so every elementwise op runs
+    # at full vector width (the (N, M≈9) layout idles 119/128 lanes —
+    # profiled ~2.5 ms of binning glue on the 100k bench).  The sort is
+    # order-agnostic over the flattened array.
+    m = jnp.arange(M, dtype=jnp.int32)[:, None]  # (M, 1)
+    sw = jnp.maximum(span_w, 1)[None, :]  # (1, N)
     dx = m % sw
     dy = m // sw
-    pair_valid = alive[:, None] & (m < n_span[:, None])
-    tile_ids = jnp.where(pair_valid, (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx), T)
-    keys = ((tile_ids << depth_bits) | qdepth[:, None]).reshape(-1)
-    gauss = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], (N, M)).reshape(-1)
+    pair_valid = alive[None, :] & (m < n_span[None, :])
+    tile_ids = jnp.where(pair_valid, (y0[None, :] + dy) * tiles_x + (x0[None, :] + dx), T)
+    keys = ((tile_ids << depth_bits) | qdepth[None, :]).reshape(-1)
+    gauss = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (M, N)).reshape(-1)
     if need_origpos:
         # third operand rides the sort so the backward's sort+gather
-        # reduction can invert the binning permutation
-        origpos = jax.lax.broadcasted_iota(jnp.int32, (N * M, 1), 0)[:, 0]
+        # reduction can invert the binning permutation; origpos must be the
+        # ORIGINAL flat pair id n*M + m (the reduction reshapes to (N, M))
+        origpos = (
+            jax.lax.broadcasted_iota(jnp.int32, (M, N), 1) * M
+            + jax.lax.broadcasted_iota(jnp.int32, (M, N), 0)
+        ).reshape(-1)
         sorted_keys, sorted_gauss, sorted_origpos = jax.lax.sort(
             (keys, gauss, origpos), num_keys=1
         )

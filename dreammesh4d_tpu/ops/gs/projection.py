@@ -144,50 +144,71 @@ def project_gaussians_sq(
 
     Same math as ``compute_cov3d`` + ``project_gaussians`` but cov2d is
     assembled as cov2d = U Uᵀ with U[i,k] = s_k · (t_i · R[:,k]) computed by
-    ELEMENTWISE mul/sum chains instead of batched (N,3,3)/(N,2,3)
-    dot_generals: the tiny per-gaussian matmuls lower to windowed emitters
-    on TPU whose fwd+bwd cost ~2.5 ms/iter on the 100k benchmark (xprof:
-    broadcast_multiply_fusion + multiply_reduce_fusion at projection.py:43-44)
-    — the fused elementwise form eliminates them."""
-    N = means3d.shape[0]
+    FULLY PLANAR (N,)-shaped elementwise chains: no (N,3,3) rotation-matrix
+    tensor, no (N,3) row stacks.  The AoS forms put the 3/3x3 trailing axes
+    in the TPU lane dimension (125/128 lanes idle) — profiled 2.4 ms/step in
+    quat_to_matrix (quaternion.py:72-80) + 1.2 ms of (N,3) stack glue on the
+    100k benchmark; the planar form keeps N in lanes throughout and fuses
+    into a handful of full-width elementwise fusions."""
     focal_x = W / (2.0 * tan_fovx)
     focal_y = H / (2.0 * tan_fovy)
 
-    ones = jnp.ones((N, 1), means3d.dtype)
-    hom = jnp.concatenate([means3d, ones], -1)
-    p_view = hom @ world_view[:, :3]
-    p_hom = hom @ full_proj
-    p_w = 1.0 / (p_hom[:, 3:4] + 1e-7)
-    p_ndc = p_hom[:, :3] * p_w
-    means2d = jnp.stack(
-        [((p_ndc[:, 0] + 1.0) * W - 1.0) * 0.5, ((p_ndc[:, 1] + 1.0) * H - 1.0) * 0.5], -1
-    )
-    depths = p_view[:, 2]
+    # camera transforms applied as PLANAR (N,) chains — the (N,4)x(4,4)
+    # matmuls are 4/128 MXU-occupancy and profiled ~1 ms/step with their
+    # concatenate/stack glue on the 100k bench
+    m0, m1, m2 = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+
+    def xform(M, j):  # row-vector convention: out_j = Σ_i p_i M[i, j] + M[3, j]
+        return m0 * M[0, j] + m1 * M[1, j] + m2 * M[2, j] + M[3, j]
+
+    pv0 = xform(world_view, 0)
+    pv1 = xform(world_view, 1)
+    depths = xform(world_view, 2)
+    p_w = 1.0 / (xform(full_proj, 3) + 1e-7)
+    ndc0 = xform(full_proj, 0) * p_w
+    ndc1 = xform(full_proj, 1) * p_w
+    mean_x = ((ndc0 + 1.0) * W - 1.0) * 0.5
+    mean_y = ((ndc1 + 1.0) * H - 1.0) * 0.5
+    means2d = jnp.stack([mean_x, mean_y], -1)
 
     tz = depths
     lim_x, lim_y = 1.3 * tan_fovx, 1.3 * tan_fovy
-    txtz = jnp.clip(p_view[:, 0] / tz, -lim_x, lim_x)
-    tytz = jnp.clip(p_view[:, 1] / tz, -lim_y, lim_y)
+    txtz = jnp.clip(pv0 / tz, -lim_x, lim_x)
+    tytz = jnp.clip(pv1 / tz, -lim_y, lim_y)
     tx = txtz * tz
     ty = tytz * tz
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
 
-    R_wv = world_view[:3, :3].T  # (3,3) camera constant
-    # rows of T = J @ R_wv, built from J's sparsity (2 nonzeros per row)
-    t0 = (focal_x * inv_z)[:, None] * R_wv[0][None] \
-        - (focal_x * tx * inv_z2)[:, None] * R_wv[2][None]   # (N,3)
-    t1 = (focal_y * inv_z)[:, None] * R_wv[1][None] \
-        - (focal_y * ty * inv_z2)[:, None] * R_wv[2][None]
+    R_wv = world_view[:3, :3].T  # (3,3) camera constant (python floats ok)
+    # rows of T = J @ R_wv from J's sparsity: t_i[j] = a_i * W[r_i, j] + b_i * W[2, j]
+    a0 = focal_x * inv_z          # (N,)
+    b0 = -focal_x * tx * inv_z2
+    a1 = focal_y * inv_z
+    b1 = -focal_y * ty * inv_z2
+    t0j = [a0 * R_wv[0, j] + b0 * R_wv[2, j] for j in range(3)]  # 3 x (N,)
+    t1j = [a1 * R_wv[1, j] + b1 * R_wv[2, j] for j in range(3)]
 
-    R = quat_to_matrix(quats)  # (N,3,3), elementwise construction
-    # U[i,k] = s_k * sum_j t_i[j] R[j,k] — elementwise mul + axis reduce
-    u0 = (t0[:, :, None] * R).sum(1) * scales  # (N,3)
-    u1 = (t1[:, :, None] * R).sum(1) * scales
+    # rotation-matrix entries as 9 planar (N,) chains (quat wxyz)
+    w, x, y, z = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    xx, yy, zz = x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    Rm = [
+        [1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+        [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+        [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
+    ]
+    s = [scales[:, 0], scales[:, 1], scales[:, 2]]
+    # U[i,k] = s_k * sum_j t_i[j] R[j,k]
+    u0 = [s[k] * (t0j[0] * Rm[0][k] + t0j[1] * Rm[1][k] + t0j[2] * Rm[2][k])
+          for k in range(3)]
+    u1 = [s[k] * (t1j[0] * Rm[0][k] + t1j[1] * Rm[1][k] + t1j[2] * Rm[2][k])
+          for k in range(3)]
 
-    a = (u0 * u0).sum(-1) + 0.3
-    b = (u0 * u1).sum(-1)
-    c = (u1 * u1).sum(-1) + 0.3
+    a = u0[0] * u0[0] + u0[1] * u0[1] + u0[2] * u0[2] + 0.3
+    b = u0[0] * u1[0] + u0[1] * u1[1] + u0[2] * u1[2]
+    c = u1[0] * u1[0] + u1[1] * u1[1] + u1[2] * u1[2] + 0.3
 
     det = a * c - b * b
     det_safe = jnp.where(det > 0, det, 1.0)
@@ -201,10 +222,10 @@ def project_gaussians_sq(
 
     in_front = depths > near
     on_screen = (
-        (means2d[:, 0] + radius_f > 0)
-        & (means2d[:, 0] - radius_f < W)
-        & (means2d[:, 1] + radius_f > 0)
-        & (means2d[:, 1] - radius_f < H)
+        (mean_x + radius_f > 0)
+        & (mean_x - radius_f < W)
+        & (mean_y + radius_f > 0)
+        & (mean_y - radius_f < H)
     )
     valid = in_front & (det > 0) & on_screen
     radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)

@@ -13,6 +13,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+SCOPED_VMEM_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "112640"}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -55,7 +58,7 @@ def main():
         "p": p, "quats": quats, "log_scales": log_scales, "colors": colors,
         "op_logit": jnp.full((N,), 2.0),
     }
-    step = jax.jit(jax.grad(loss_fn))
+    step = jax.jit(jax.grad(loss_fn), compiler_options=SCOPED_VMEM_OPTS)
     g = jax.block_until_ready(step(params))
 
     t0 = time.perf_counter()
