@@ -53,6 +53,50 @@ def num_tiles(W: int, H: int) -> tuple[int, int]:
     return (W + TILE - 1) // TILE, (H + TILE - 1) // TILE
 
 
+def _tile_cull(tile_x, tile_y, mx, my, conics, opacities):
+    """EXACT per-pair tile culling: True where the pair provably contributes
+    alpha < 1/255 on EVERY pixel of the tile (so the blend kernel's live
+    mask would zero it anyway — pruning cannot change the rendered output).
+
+    tile_x/tile_y: integer tile coords, any broadcastable shape with mx/my
+    (means per pair).  The max of alpha over the tile rect is
+    op·exp(-0.5·minQ) with minQ the min of the conic quadratic over the
+    rect: 0 if the mean lies inside, else the min over the four edges (each
+    a 1-D quadratic with closed-form clamped argmin).  Prune iff
+    minQ > 2·ln(255·op)."""
+    ca = conics[:, 0][None, :]
+    cb = conics[:, 1][None, :]
+    cc = conics[:, 2][None, :]
+    op = opacities[None, :]
+    X0 = (tile_x * TILE).astype(jnp.float32)
+    Y0 = (tile_y * TILE).astype(jnp.float32)
+    dx0 = X0 - mx
+    dx1 = X0 + (TILE - 1) - mx
+    dy0 = Y0 - my
+    dy1 = Y0 + (TILE - 1) - my
+    inside = (dx0 <= 0) & (dx1 >= 0) & (dy0 <= 0) & (dy1 >= 0)
+
+    sa = jnp.maximum(ca, 1e-12)
+    sc = jnp.maximum(cc, 1e-12)
+
+    def q_edge_x(d):  # fixed dx = d, dy free in [dy0, dy1]
+        t = jnp.clip(-cb * d / sc, dy0, dy1)
+        return ca * d * d + 2.0 * cb * d * t + cc * t * t
+
+    def q_edge_y(e):  # fixed dy = e, dx free in [dx0, dx1]
+        t = jnp.clip(-cb * e / sa, dx0, dx1)
+        return ca * t * t + 2.0 * cb * t * e + cc * e * e
+
+    min_q = jnp.minimum(
+        jnp.minimum(q_edge_x(dx0), q_edge_x(dx1)),
+        jnp.minimum(q_edge_y(dy0), q_edge_y(dy1)),
+    )
+    min_q = jnp.where(inside, 0.0, min_q)
+    # alpha_max = op·exp(-minQ/2) < 1/255  ⟺  minQ > 2·ln(255·op)
+    return min_q > 2.0 * jnp.log(jnp.maximum(op, 1e-12) * 255.0)
+
+
+
 def bin_gaussians(
     means2d: jnp.ndarray,
     radii: jnp.ndarray,
@@ -62,6 +106,8 @@ def bin_gaussians(
     H: int,
     tile_capacity: int = 512,
     max_tiles_per_gaussian: int = 16,
+    conics=None,
+    opacities=None,
 ) -> TileAssignment:
     N = means2d.shape[0]
     tiles_x, tiles_y = num_tiles(W, H)
@@ -85,6 +131,12 @@ def bin_gaussians(
     dx = m % sw
     dy = m // sw
     pair_valid = alive[:, None] & (m < n_span[:, None])
+    if conics is not None and opacities is not None:
+        # (N, M) layout: transpose the cull's (pair, gaussian) axes
+        culled = _tile_cull((x0[:, None] + dx).T, (y0[:, None] + dy).T,
+                            means2d[:, 0][None, :], means2d[:, 1][None, :],
+                            conics, opacities).T
+        pair_valid = pair_valid & ~culled
     tile_ids = jnp.where(pair_valid, (y0[:, None] + dy) * tiles_x + (x0[:, None] + dx), T)
 
     # Single-operand packed sort: gaussians are pre-ordered by depth once
@@ -135,6 +187,8 @@ def bin_gaussians_pairs(
     max_tiles_per_gaussian: int = 16,
     depth_bits: int = 20,
     need_origpos: bool = True,
+    conics=None,
+    opacities=None,
 ) -> PairAssignment:
     """Pair-array binning with QUANTIZED-depth packed keys.
 
@@ -177,6 +231,11 @@ def bin_gaussians_pairs(
     dx = m % sw
     dy = m // sw
     pair_valid = alive[None, :] & (m < n_span[None, :])
+    if conics is not None and opacities is not None:
+        culled = _tile_cull(x0[None, :] + dx, y0[None, :] + dy,
+                            means2d[:, 0][None, :], means2d[:, 1][None, :],
+                            conics, opacities)
+        pair_valid = pair_valid & ~culled
     tile_ids = jnp.where(pair_valid, (y0[None, :] + dy) * tiles_x + (x0[None, :] + dx), T)
     keys = ((tile_ids << depth_bits) | qdepth[None, :]).reshape(-1)
     gauss = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (M, N)).reshape(-1)

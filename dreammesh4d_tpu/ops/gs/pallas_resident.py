@@ -38,6 +38,7 @@ from .pallas_blend import (
     T_EPS,
     _exclusive_transmittance,
     _group_geometry,
+    _matmul_bf16,
     _pack_rows,
     _pixel_grid,
     _tri_incl,
@@ -151,10 +152,7 @@ def _bwd_kernel(n_channels: int, cap: int, group: int,
             cols, g_col, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         contrib = gdotc * w
-        prefix = gdot_cpre + jax.lax.dot_general(
-            _tri_incl(group), contrib, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        prefix = gdot_cpre + _matmul_bf16(_tri_incl(group), contrib)
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         d_alpha = (
             t_excl * gdotc - (c_total_dot_g - prefix) / one_m - g_T * t_final / one_m
@@ -243,10 +241,7 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int,
             cols, g_col, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         contrib = gdotc * w
-        prefix = gdot_cpre + jax.lax.dot_general(
-            _tri_incl(group), contrib, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        prefix = gdot_cpre + _matmul_bf16(_tri_incl(group), contrib)
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         d_alpha = (
             t_excl * gdotc - (c_total_dot_g - prefix) / one_m - g_T * t_final / one_m

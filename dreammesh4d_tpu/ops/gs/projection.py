@@ -155,8 +155,10 @@ def project_gaussians_sq(
 
     # camera transforms applied as PLANAR (N,) chains — the (N,4)x(4,4)
     # matmuls are 4/128 MXU-occupancy and profiled ~1 ms/step with their
-    # concatenate/stack glue on the 100k bench
-    m0, m1, m2 = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    # concatenate/stack glue on the 100k bench.  One upfront transpose per
+    # input makes every column read CONTIGUOUS (direct (N,k) column slices
+    # are stride-k lane gathers re-done inside each consuming fusion).
+    m0, m1, m2 = means3d.T
 
     def xform(M, j):  # row-vector convention: out_j = Σ_i p_i M[i, j] + M[3, j]
         return m0 * M[0, j] + m1 * M[1, j] + m2 * M[2, j] + M[3, j]
@@ -190,7 +192,7 @@ def project_gaussians_sq(
     t1j = [a1 * R_wv[1, j] + b1 * R_wv[2, j] for j in range(3)]
 
     # rotation-matrix entries as 9 planar (N,) chains (quat wxyz)
-    w, x, y, z = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    w, x, y, z = quats.T
     xx, yy, zz = x * x, y * y, z * z
     wx, wy, wz = w * x, w * y, w * z
     xy, xz, yz = x * y, x * z, y * z
@@ -199,7 +201,7 @@ def project_gaussians_sq(
         [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
         [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
     ]
-    s = [scales[:, 0], scales[:, 1], scales[:, 2]]
+    s = list(scales.T)
     # U[i,k] = s_k * sum_j t_i[j] R[j,k]
     u0 = [s[k] * (t0j[0] * Rm[0][k] + t0j[1] * Rm[1][k] + t0j[2] * Rm[2][k])
           for k in range(3)]

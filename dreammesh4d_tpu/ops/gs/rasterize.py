@@ -154,6 +154,8 @@ def _rasterize_projected(
             jax.lax.stop_gradient(proj.depths), proj.mask,
             cfg.width, cfg.height, cfg.max_tiles_per_gaussian,
             need_origpos=not cfg.bwd_accum,
+            conics=jax.lax.stop_gradient(proj.conics),
+            opacities=jax.lax.stop_gradient(opacities),
         )
         rgb, alpha, depth = blend_image_resident(
             pa, proj.means2d, proj.conics,
@@ -172,6 +174,8 @@ def _rasterize_projected(
         cfg.height,
         cfg.tile_capacity,
         cfg.max_tiles_per_gaussian,
+        conics=jax.lax.stop_gradient(proj.conics),
+        opacities=jax.lax.stop_gradient(opacities),
     )
     if cfg.backend == "pallas":
         from .pallas_blend import blend_image_pallas

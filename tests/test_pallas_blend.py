@@ -78,7 +78,10 @@ def test_gradients_match_xla():
         a, b = np.asarray(gx[k]), np.asarray(gp[k])
         assert np.isfinite(b).all(), k
         denom = np.abs(a).max() + 1e-8
-        np.testing.assert_allclose(b / denom, a / denom, atol=2e-3, err_msg=k)
+        # 3e-3: the kernels run the transmittance cumsums as one-pass bf16
+        # MXU matmuls (~0.4% rounding, pallas_blend._matmul_bf16) — matches
+        # the resident-backend tolerance below
+        np.testing.assert_allclose(b / denom, a / denom, atol=3e-3, err_msg=k)
 
 
 def test_early_termination_correct():
