@@ -68,7 +68,7 @@ def main():
     step = jax.jit(jax.grad(loss_fn), compiler_options=SCOPED_VMEM_OPTS)
     g = jax.block_until_ready(step(params))  # compile
 
-    n_iter = 20
+    n_iter = 60
     t0 = time.perf_counter()
     for _ in range(n_iter):
         g = step(params)

@@ -62,10 +62,10 @@ def main():
     g = jax.block_until_ready(step(params))
 
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(60):
         g = step(params)
     jax.block_until_ready(g)
-    print("mean step ms:", (time.perf_counter() - t0) / 10 * 1e3)
+    print("mean step ms:", (time.perf_counter() - t0) / 60 * 1e3)
 
     with jax.profiler.trace("/tmp/gsprof"):
         for _ in range(5):
