@@ -43,6 +43,7 @@ from ..ops.gs import RasterizerConfig, rasterize
 from ..ops.meshops import tv_loss
 from ..ops.sugar_reg import SugarRegState, refresh_knn, sugar_density_regularization
 from ..utils.schedule import C_jax
+from ..utils.jit import tpu_jit
 
 
 class GaussianParams(NamedTuple):
@@ -222,7 +223,7 @@ def make_gaussian_train_step(
         }
         return total, aux
 
-    @jax.jit
+    @tpu_jit
     def train_step(state: GaussianTrainState, batch, reg_state: SugarRegState, rng,
                    guidance_state=None):
         params, alive = split_state(state.gaussians)

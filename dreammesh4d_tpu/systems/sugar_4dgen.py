@@ -49,6 +49,7 @@ from ..ops.meshops import (
     tv_loss,
 )
 from ..utils.schedule import C_jax
+from ..utils.jit import tpu_jit
 
 
 @dataclass
@@ -254,7 +255,7 @@ def make_dynamic_train_step(
         metrics["psnr"] = -10.0 * jnp.log10(terms["rgb"] + 1e-8)
         return total, metrics
 
-    @jax.jit
+    @tpu_jit
     def train_step(state: DynTrainState, batch, rng, guidance_state=None):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.deform_params, batch, rng, state.step, guidance_state
@@ -280,7 +281,7 @@ def make_dynamic_render_eval(
     attrs0 = gaussian_attributes(sugar_params, sg)
     bg = jnp.asarray(bg_color, jnp.float32)
 
-    @jax.jit
+    @tpu_jit
     def render_eval(deform_params, cameras: CameraBatch, timestamps):
         gs, vert = timed_all(sugar_params, deform_params, deform_cfg, static, timestamps)
         fnorm = face_normals(vert.xyz, sg.faces)

@@ -42,6 +42,7 @@ from ..ops.meshops import (
     tv_loss,
 )
 from ..utils.schedule import C_jax
+from ..utils.jit import tpu_jit
 
 
 @dataclass
@@ -151,7 +152,7 @@ def make_train_step(
         metrics["psnr"] = -10.0 * jnp.log10(terms["rgb"] + 1e-8)
         return total, metrics
 
-    @jax.jit
+    @tpu_jit
     def train_step(state: TrainState, batch, rng, guidance_state=None):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng, state.step, guidance_state
@@ -168,7 +169,7 @@ def make_render_eval(static: SuGaRStatic, raster_cfg: RasterizerConfig, bg_color
     bg = jnp.asarray(bg_color, jnp.float32)
     G = static.n_per_face
 
-    @jax.jit
+    @tpu_jit
     def render_eval(params: SuGaRParams, cameras: CameraBatch):
         attrs = gaussian_attributes(params, static)
         fnorm = face_normals(params.points, static.faces)
