@@ -94,6 +94,10 @@ class DynamicStatic(NamedTuple):
     gs_bary_w: jnp.ndarray  # (N_gs, 3) barycentric weights
     skinning_method: str
     d_scale: bool
+    # reference dynamic_sugar.py:90-151 mode switches
+    dynamic_mode: str = "deformation"  # deformation | discrete
+    use_deform_graph: bool = True
+    num_frames: int = 32
 
 
 class NodeAttrs(NamedTuple):
@@ -115,30 +119,110 @@ def build_dynamic_static(
     points: np.ndarray,
     seed: int = 0,
 ) -> DynamicStatic:
-    """Host-side: build the deformation graph binding for the bound mesh."""
+    """Host-side: build the deformation graph binding for the bound mesh.
+
+    When ``use_deform_graph=False`` the (expensive, geodesic) graph build is
+    skipped entirely — vertices deform directly (reference dynamic_sugar.py:92-99
+    guards ``build_deformation_graph`` the same way) and the node/binding
+    fields hold 1-node placeholders that no code path reads."""
     faces = np.asarray(sugar_static.faces)
-    graph = build_deformation_graph(
-        np.asarray(points), faces, cfg.n_dg_nodes, cfg.dg_node_connectivity,
-        mode=cfg.dist_mode, seed=seed,
-    )
+    if cfg.use_deform_graph:
+        graph = build_deformation_graph(
+            np.asarray(points), faces, cfg.n_dg_nodes, cfg.dg_node_connectivity,
+            mode=cfg.dist_mode, seed=seed,
+        )
+        node_xyz, nbr_idx, nbr_w = graph.node_xyz, graph.neighbor_idx, graph.neighbor_weights
+    else:
+        V = len(points)
+        node_xyz = np.zeros((1, 3), np.float32)
+        nbr_idx = np.zeros((V, 1), np.int32)
+        nbr_w = np.ones((V, 1), np.float32)
     G = sugar_static.n_per_face
     gs_vert_idx = np.repeat(faces, G, axis=0)  # (F*G, 3)
     gs_bary_w = np.tile(np.asarray(sugar_static.bary_coords), (len(faces), 1))
     return DynamicStatic(
         sugar=sugar_static,
-        node_xyz=jnp.asarray(graph.node_xyz),
-        nbr_idx=jnp.asarray(graph.neighbor_idx),
-        nbr_w=jnp.asarray(graph.neighbor_weights),
+        node_xyz=jnp.asarray(node_xyz),
+        nbr_idx=jnp.asarray(nbr_idx),
+        nbr_w=jnp.asarray(nbr_w),
         gs_vert_idx=jnp.asarray(gs_vert_idx, jnp.int32),
         gs_bary_w=jnp.asarray(gs_bary_w, jnp.float32),
         skinning_method=cfg.skinning_method,
         d_scale=cfg.d_scale,
+        dynamic_mode=cfg.dynamic_mode,
+        use_deform_graph=cfg.use_deform_graph,
+        num_frames=cfg.num_frames,
     )
 
 
 # ---------------------------------------------------------------------------
 # Timed attribute chain (pure, differentiable, leading time axis)
 # ---------------------------------------------------------------------------
+
+
+def init_discrete_params(cfg: DynamicSuGaRConfig, n_points: int) -> Dict[str, Any]:
+    """Per-frame learned transform tables for ``dynamic_mode="discrete"``
+    (reference dynamic_sugar.py:102-139): zero translations, identity
+    rotations, zero strain (identity after strain_tensor_to_matrix) and zero
+    blend-weight logits per frame x node (or per frame x vertex when
+    ``use_deform_graph=False``).  wxyz quats (the reference stores xyzw with
+    w last; only the identity layout differs)."""
+    L = cfg.num_frames
+    M = cfg.n_dg_nodes if cfg.use_deform_graph else n_points
+    rots = jnp.zeros((L, M, 4)).at[..., 0].set(1.0)
+    params = {"trans": jnp.zeros((L, M, 3)), "rots": rots}
+    if cfg.use_deform_graph:
+        if cfg.d_scale or cfg.skinning_method in ("hybrid", "lbs"):
+            params["strain"] = jnp.zeros((L, M, 6))
+        if cfg.skinning_method == "hybrid":
+            params["blendw"] = jnp.zeros((L, M, 1))
+    elif cfg.d_scale:  # direct vertex path: no skinning, strain only for scales
+        params["strain"] = jnp.zeros((L, M, 6))
+    return params
+
+
+def discrete_node_attrs(
+    discrete_params: Dict[str, Any],
+    frame_indices: jnp.ndarray,  # (T,) int32
+) -> NodeAttrs:
+    """Table lookup for discrete mode (dynamic_sugar.py:413-418): per-frame
+    learned node transforms instead of a HexPlane query."""
+    trans = discrete_params["trans"][frame_indices]
+    rots = quat_normalize(discrete_params["rots"][frame_indices])
+    strain = None
+    if "strain" in discrete_params:
+        strain = strain_tensor_to_matrix(discrete_params["strain"][frame_indices])
+    blendw = None
+    if "blendw" in discrete_params:
+        blendw = jax.nn.sigmoid(discrete_params["blendw"][frame_indices])
+    return NodeAttrs(trans, rots, strain, blendw)
+
+
+def direct_vertex_attrs(
+    params: SuGaRParams,
+    deform_params: Dict[str, Any],
+    deform_cfg: DeformationConfig,
+    static: DynamicStatic,
+    timestamps: Optional[jnp.ndarray],
+    frame_indices: Optional[jnp.ndarray],
+) -> VertexAttrs:
+    """``use_deform_graph=False``: deform every mesh vertex directly — the
+    HexPlane queried at the vertices (deformation mode,
+    dynamic_sugar.py:617-655) or per-frame per-vertex tables (discrete) —
+    no skinning."""
+    verts = params.points
+    V = verts.shape[0]
+    if static.dynamic_mode == "discrete":
+        node = discrete_node_attrs(deform_params, frame_indices)
+        xyz = verts[None] + node.trans
+        return VertexAttrs(xyz, node.rots, node.strain)
+    T = timestamps.shape[0]
+    pts = jnp.broadcast_to(verts[None], (T, V, 3))
+    ts = jnp.broadcast_to(timestamps[:, None], (T, V)) * 2.0 - 1.0
+    deltas: DeformationDeltas = forward_dynamic_delta(deform_params, deform_cfg, pts, ts)
+    rots = quat_normalize(deltas.drot + jnp.asarray([1.0, 0.0, 0.0, 0.0]))
+    strain = strain_tensor_to_matrix(deltas.dstrain) if deltas.dstrain is not None else None
+    return VertexAttrs(pts + deltas.dx, rots, strain)
 
 
 def timed_node_attrs(
@@ -287,11 +371,28 @@ def timed_all(
     deform_cfg: DeformationConfig,
     static: DynamicStatic,
     timestamps: jnp.ndarray,
+    frame_indices: Optional[jnp.ndarray] = None,
 ) -> Tuple[TimedGS, VertexAttrs]:
     """Full chain: timestamps (T,) -> per-time GS attrs + deformed vertices
     (the renderer entry, parity with get_timed_gs_all_single_time,
-    dynamic_sugar.py:708-724)."""
-    node = timed_node_attrs(deform_params, deform_cfg, static, timestamps)
-    vert = skin_vertices(static, params.points, node)
+    dynamic_sugar.py:708-724).  Dispatches on the config modes: deformation
+    (HexPlane) vs discrete (per-frame tables), deformation-graph skinning vs
+    direct vertex deformation (dynamic_sugar.py:469-474).  Discrete mode
+    needs ``frame_indices``; when absent they are derived from timestamps
+    (nearest frame — used by the inter-frame ARAP window)."""
+    if static.dynamic_mode == "discrete" and frame_indices is None:
+        frame_indices = jnp.clip(
+            jnp.round(timestamps * (static.num_frames - 1)).astype(jnp.int32),
+            0, static.num_frames - 1,
+        )
+    if not static.use_deform_graph:
+        vert = direct_vertex_attrs(params, deform_params, deform_cfg, static,
+                                   timestamps, frame_indices)
+    else:
+        if static.dynamic_mode == "discrete":
+            node = discrete_node_attrs(deform_params, frame_indices)
+        else:
+            node = timed_node_attrs(deform_params, deform_cfg, static, timestamps)
+        vert = skin_vertices(static, params.points, node)
     gs = timed_gs_attrs(params, static, vert)
     return gs, vert

@@ -466,6 +466,8 @@ class Sugar4DGenExperiment:
         deform_cfg = _filtered_dataclass(DeformationConfig, dict(geo_cfg_d.get("deformation", {})))
         dyn_cfg = DynamicSuGaRConfig(
             num_frames=int(geo_cfg_d.get("num_frames", 32)),
+            dynamic_mode=str(geo_cfg_d.get("dynamic_mode", "deformation")),
+            use_deform_graph=bool(geo_cfg_d.get("use_deform_graph", True)),
             n_dg_nodes=int(geo_cfg_d.get("n_dg_nodes", 1000)),
             dg_node_connectivity=int(geo_cfg_d.get("dg_node_connectivity", 4)),
             dist_mode=str(geo_cfg_d.get("dist_mode", "geodisc")),
@@ -517,7 +519,12 @@ class Sugar4DGenExperiment:
         self.num_inter_frames = int(system.get("num_inter_frames", 10))
         self.length_inter_frames = float(system.get("length_inter_frames", 0.2))
 
-        deform_params = init_deformation(deform_cfg, jax.random.PRNGKey(cfg.seed))
+        if dyn_cfg.dynamic_mode == "discrete":
+            from ..models.geometry.dynamic_sugar import init_discrete_params
+
+            deform_params = init_discrete_params(dyn_cfg, len(sugar_params.points))
+        else:
+            deform_params = init_deformation(deform_cfg, jax.random.PRNGKey(cfg.seed))
         ref_raster_cfg = build_raster_config(d.height, d.width, d.default_fovy_deg, system)
         frames_rgb_np, frames_mask_np = self.data.load_frames()
         self._video_frames = (jnp.asarray(frames_rgb_np), jnp.asarray(frames_mask_np))

@@ -227,9 +227,13 @@ def make_dynamic_train_step(
         )
         terms["arap_reg_inter_frame"] = arap_on * _arap(vert_inter.xyz, vert_inter.rots)
 
-        # HexPlane grid regularizers (deformation.py:58-61)
-        terms["plane_tv"] = plane_tv_loss(deform_params)
-        terms["time_smoothness"] = plane_tv_loss(deform_params, only_time_planes=True)
+        # HexPlane grid regularizers (deformation.py:58-61).  Discrete mode
+        # has per-frame tables instead of plane grids — no TV terms
+        # (reference training_setup_dynamic only registers grid lrs in
+        # deformation mode, dynamic_sugar.py:153-200).
+        if static.dynamic_mode == "deformation":
+            terms["plane_tv"] = plane_tv_loss(deform_params)
+            terms["time_smoothness"] = plane_tv_loss(deform_params, only_time_planes=True)
 
         weights = {
             "sds_zero123": losses.lambda_sds_zero123,

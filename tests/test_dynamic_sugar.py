@@ -169,6 +169,108 @@ def test_rigid_node_motion_moves_vertices(skinning):
     np.testing.assert_allclose(dot, 1.0, atol=1e-4)
 
 
+def _setup_mode(dynamic_mode="deformation", use_deform_graph=True, skinning="hybrid",
+                num_frames=4):
+    from dreammesh4d_tpu.models.geometry.dynamic_sugar import init_discrete_params
+
+    mesh = make_icosphere(1, radius=0.8)
+    params, sugar_static = create_sugar(SuGaRConfig(n_gaussians_per_surface_triangle=1), mesh)
+    cfg = DynamicSuGaRConfig(
+        num_frames=num_frames, dynamic_mode=dynamic_mode,
+        use_deform_graph=use_deform_graph, n_dg_nodes=20, dg_node_connectivity=4,
+        skinning_method=skinning, deformation=CFG_SMALL, dist_mode="eucdisc",
+    )
+    static = build_dynamic_static(cfg, sugar_static, np.asarray(params.points))
+    if dynamic_mode == "discrete":
+        dparams = init_discrete_params(cfg, len(params.points))
+    else:
+        dparams = init_deformation(CFG_SMALL, jax.random.PRNGKey(0))
+    return params, static, cfg, dparams
+
+
+@pytest.mark.parametrize("use_graph", [True, False])
+def test_discrete_identity_at_init(use_graph):
+    """dynamic_mode=discrete: zero tables -> rest pose at every frame
+    (reference dynamic_sugar.py:102-139 table init + :413-418 lookup)."""
+    params, static, cfg, dparams = _setup_mode("discrete", use_graph)
+    fi = jnp.asarray([0, 2, 3], jnp.int32)
+    ts = fi.astype(jnp.float32) / (cfg.num_frames - 1)
+    gs, vert = timed_all(params, dparams, cfg.deformation, static, ts, frame_indices=fi)
+    for t in range(3):
+        np.testing.assert_allclose(np.asarray(vert.xyz[t]), np.asarray(params.points), atol=1e-5)
+    from dreammesh4d_tpu.models.geometry.sugar import gaussian_attributes
+
+    attrs0 = gaussian_attributes(params, static.sugar)
+    np.testing.assert_allclose(np.asarray(gs.means3d[0]), np.asarray(attrs0.means3d), atol=1e-5)
+    dot = np.abs((np.asarray(gs.quats[0]) * np.asarray(attrs0.quats)).sum(-1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-5)
+    # frame_indices derived from timestamps when absent (nearest frame)
+    gs2, vert2 = timed_all(params, dparams, cfg.deformation, static, ts)
+    np.testing.assert_allclose(np.asarray(vert2.xyz), np.asarray(vert.xyz), atol=1e-6)
+
+
+def test_discrete_rigid_motion_per_frame():
+    """One frame's node table holds a shared rigid transform -> that frame's
+    vertices follow it exactly; other frames stay at rest."""
+    params, static, cfg, dparams = _setup_mode("discrete", True, skinning="hybrid")
+    q = quat_exp(jnp.asarray([0.0, 0.0, np.pi / 4]))
+    t_vec = jnp.asarray([0.2, -0.1, 0.3])
+    M = static.node_xyz.shape[0]
+    dparams["trans"] = dparams["trans"].at[1].set(t_vec)
+    dparams["rots"] = dparams["rots"].at[1].set(jnp.broadcast_to(q, (M, 4)))
+    dparams["blendw"] = dparams["blendw"].at[1].set(20.0)  # sigmoid -> ~1 (pure LBS)
+    fi = jnp.asarray([0, 1], jnp.int32)
+    _, vert = timed_all(params, dparams, cfg.deformation, static,
+                        fi.astype(jnp.float32) / (cfg.num_frames - 1), frame_indices=fi)
+    np.testing.assert_allclose(np.asarray(vert.xyz[0]), np.asarray(params.points), atol=1e-5)
+    expected = quat_apply(jnp.broadcast_to(q, (params.points.shape[0], 4)), params.points) + t_vec
+    np.testing.assert_allclose(np.asarray(vert.xyz[1]), np.asarray(expected), atol=1e-4)
+
+
+def test_no_graph_deformation_identity_and_grads():
+    """use_deform_graph=False + HexPlane: direct vertex deformation
+    (reference dynamic_sugar.py:617-655) — rest pose at zero-init, gradients
+    reach the deformation params."""
+    params, static, cfg, dparams = _setup_mode("deformation", False)
+    ts = jnp.asarray([0.0, 0.7])
+    gs, vert = timed_all(params, dparams, cfg.deformation, static, ts)
+    for t in range(2):
+        np.testing.assert_allclose(np.asarray(vert.xyz[t]), np.asarray(params.points), atol=1e-5)
+
+    def loss(dp):
+        gs, vert = timed_all(params, dp, cfg.deformation, static, ts)
+        return (gs.means3d**2).mean() + (vert.xyz**2).mean()
+
+    g = jax.tree.leaves(jax.grad(loss)(dparams))
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
+    assert sum(float(jnp.abs(x).sum()) for x in g) > 0
+
+
+def test_discrete_no_graph_translation():
+    """discrete + no graph: per-vertex per-frame translation tables move the
+    vertices directly (sane reading of dynamic_sugar.py:625-631 — the
+    reference feeds the raw zero-init table into the barycentric chain as
+    absolute positions, collapsing the mesh; we keep x' = x + t)."""
+    params, static, cfg, dparams = _setup_mode("discrete", False)
+    t_vec = jnp.asarray([0.05, -0.02, 0.1])
+    dparams["trans"] = dparams["trans"].at[2].add(t_vec)
+    fi = jnp.asarray([0, 2], jnp.int32)
+    _, vert = timed_all(params, dparams, cfg.deformation, static,
+                        fi.astype(jnp.float32) / (cfg.num_frames - 1), frame_indices=fi)
+    np.testing.assert_allclose(np.asarray(vert.xyz[0]), np.asarray(params.points), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(vert.xyz[1]), np.asarray(params.points + t_vec), atol=1e-6
+    )
+    # gradients reach the tables
+    def loss(dp):
+        _, v = timed_all(params, dp, cfg.deformation, static,
+                         fi.astype(jnp.float32) / (cfg.num_frames - 1), frame_indices=fi)
+        return (v.xyz**2).mean()
+
+    g = jax.grad(loss)(dparams)
+    assert float(jnp.abs(g["trans"]).sum()) > 0
+
+
 def test_gradients_flow_through_time_chain():
     params, static, cfg, dparams = _setup_dynamic("hybrid")
     ts = jnp.asarray([0.25, 0.75])

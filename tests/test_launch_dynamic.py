@@ -92,6 +92,47 @@ def test_dynamic_stage_launches(assets, tmp_path):
     assert len(objs) >= 8, objs  # one deformed mesh per video frame
 
 
+def test_dynamic_stage_discrete_mode(assets, tmp_path):
+    """dynamic_mode=discrete through the launch surface: per-frame learned
+    node tables replace the HexPlane (reference dynamic_sugar.py:102-139);
+    the train step must run and checkpoint with the table pytree."""
+    import launch
+
+    frames, mesh = assets
+
+    class Args:
+        train = True
+        validate = test = export = False
+        typecheck = False
+        platform = "cpu"
+        gpu = "0"
+
+    args = Args()
+    args.config = os.path.join(REPO, "configs/sugar_dynamic_dg.yaml")
+    launch.main(args, [
+        f"data.video_frames_dir={frames}",
+        "data.height=32", "data.width=32", "data.num_frames=2",
+        "data.random_camera.height=32", "data.random_camera.width=32",
+        "data.random_camera.batch_size=2",
+        "system.geometry.num_frames=8",
+        "system.geometry.dynamic_mode=discrete",
+        f"system.geometry.surface_mesh_to_bind_path={mesh}",
+        "system.geometry.n_dg_nodes=32", "system.geometry.dg_node_connectivity=4",
+        "system.geometry.dist_mode=eucdisc",
+        "system.renderer.backend=xla", "system.renderer.tile_capacity=128",
+        "trainer.max_steps=2", "trainer.val_check_interval=100",
+        f"exp_root_dir={tmp_path}/out", "use_timestamp=false", "tag=dyndisc",
+    ])
+    trial = os.path.join(str(tmp_path), "out", "sugar-dynamic", "dyndisc")
+    assert os.path.isdir(os.path.join(trial, "ckpts", "step_00000002"))
+    import csv
+
+    with open(os.path.join(trial, "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert rows and float(rows[-1]["loss_total"]) == float(rows[-1]["loss_total"])
+    assert "loss_plane_tv" not in rows[-1]  # no plane grids in discrete mode
+
+
 def test_dynamic_stage_with_sds_guidance(assets, tmp_path):
     """Launch-surface run with the SDS term ACTIVE: a tiny Stable-Zero123
     checkpoint (reference LDM layout) is converted at startup and temporal
