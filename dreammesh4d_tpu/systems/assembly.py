@@ -108,6 +108,28 @@ def maybe_build_guidance(system_cfg: dict, num_frames: int = 1):
     return guidance, params
 
 
+def _guidance_eval_snapshot(saver, guidance, gstate, rng, rgb, elevation,
+                            azimuth, camera_distances, step,
+                            frame_indices=None, max_views: int = 2):
+    """``freq.guidance_eval`` diagnostics (reference systems/base.py:344-402:
+    the loop periodically decodes what SDS "sees"): per sampled view, save
+    [render | noised | 1-step x0 | full DDIM denoise] as one grid row."""
+    gp, bk = gstate
+    B = min(int(rgb.shape[0]), max_views)
+    out = guidance.guidance_eval(
+        gp, bk, rng, rgb[:B], elevation[:B], azimuth[:B], camera_distances[:B],
+        None if frame_indices is None else frame_indices[:B],
+    )
+    layers = []
+    for i in range(B):
+        S = out["img_noisy"].shape[1]
+        render = jax.image.resize(rgb[i], (S, S, 3), "bilinear")
+        for img in (render, out["img_noisy"][i], out["img_1step"][i],
+                    out["img_final"][i]):
+            layers.append({"type": "rgb", "img": np.asarray(jnp.clip(img, 0, 1))})
+    saver.save_image_grid(f"it{step}-guidance.png", layers)
+
+
 # ---------------------------------------------------------------------------
 # gaussian stage of sugar-static (vanilla 3DGS with density control)
 # ---------------------------------------------------------------------------
@@ -497,9 +519,11 @@ class Sugar4DGenExperiment:
 
         guidance_fn = None
         self._gstate = None
+        self._guidance = None
         guidance_pack = maybe_build_guidance(system)
         if guidance_pack is not None:
             guidance, gparams = guidance_pack
+            self._guidance = guidance
             frames_rgb, _ = self.data.load_frames()
             bank = guidance.prepare_embeddings(gparams, jnp.asarray(frames_rgb))
             # params/bank ride the jitted step as an argument — closing over
@@ -515,6 +539,7 @@ class Sugar4DGenExperiment:
                 )["loss_sds"]
 
         freq = dict(system.get("freq", {}))
+        self.guidance_eval_every = int(freq.get("guidance_eval", 0))
         self.inter_frame_every = int(freq.get("inter_frame_reg", 10))
         self.num_inter_frames = int(system.get("num_inter_frames", 10))
         self.length_inter_frames = float(system.get("length_inter_frames", 0.2))
@@ -561,6 +586,17 @@ class Sugar4DGenExperiment:
         batch = {k: batch[k] for k in keep}
         self.rng, k = jax.random.split(self.rng)
         self.state, metrics = self._train_step(self.state, batch, k, self._gstate)
+        if (self.guidance_eval_every > 0 and self._gstate is not None
+                and (step + 1) % self.guidance_eval_every == 0):
+            self.rng, k_ge = jax.random.split(self.rng)
+            out = self._render_eval(
+                self.state.deform_params, batch["rand_cameras"], batch["timestamps"]
+            )
+            _guidance_eval_snapshot(
+                self.saver, self._guidance, self._gstate, k_ge, out["comp_rgb"],
+                batch["elevation"], batch["azimuth"], batch["camera_distances"],
+                step + 1, frame_indices=batch["frame_indices"],
+            )
         return metrics
 
     def validate(self, step: int, test: bool = False) -> None:
@@ -593,8 +629,11 @@ class Sugar4DGenExperiment:
         faces = np.asarray(self.static.sugar.faces)
 
         # bake: render timed gaussians (t=first frame) from the predict orbit
+        # at the predict resolution (reference bakes its 1024² predict renders,
+        # base.py:253-292); system.exporter.bake_resolution overrides
         pred = self.data.predict_batch()
-        bake_hw = min(int(pred["height"]), 512)
+        bake_hw = (int(dict(self.cfg.system.get("exporter", {})).get("bake_resolution", 0))
+                   or int(pred["height"]))
         import math as _math
 
         t_tan = _math.tan(_math.radians(self.data.cfg.default_fovy_deg) / 2)
@@ -707,9 +746,12 @@ class Zero123Experiment:
 
         guidance_fn = None
         self._gstate = None
+        self._guidance = None
+        self.guidance_eval_every = int(dict(system.get("freq", {})).get("guidance_eval", 0))
         guidance_pack = maybe_build_guidance(system)
         if guidance_pack is not None:
             guidance, gparams = guidance_pack
+            self._guidance = guidance
             ref = self.data.ref_batch()
             bank = guidance.prepare_embeddings(gparams, ref["ref_rgb"])
             self._gstate = (gparams, bank)  # rides the step as an ARGUMENT
@@ -772,6 +814,21 @@ class Zero123Experiment:
         self.rng, k = jax.random.split(self.rng)
         self.state, metrics = self._train_step(self.state, b, k, lm, ambient,
                                                self._gstate, self.occ_state)
+        if (self.guidance_eval_every > 0 and self._gstate is not None
+                and (step + 1) % self.guidance_eval_every == 0):
+            # re-render the first random view (the in-step render lives inside
+            # the jitted loss) and decode the SDS diagnostics
+            self.rng, k_ge = jax.random.split(self.rng)
+            out = self._image_renderer(
+                self.state.geo_params, rand["rays_o"][0], rand["rays_d"][0],
+                rand["light_positions"][0], jnp.ones(3), level_mask=lm,
+                ambient_ratio=1.0,
+            )
+            _guidance_eval_snapshot(
+                self.saver, self._guidance, self._gstate, k_ge,
+                out["comp_rgb"][None], rand["elevation"], rand["azimuth"],
+                rand["camera_distances"], step + 1,
+            )
         return metrics
 
     def validate(self, step: int, test: bool = False) -> None:

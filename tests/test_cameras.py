@@ -1,7 +1,9 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from dreammesh4d_tpu.ops.cameras import (
+
     binary_cross_entropy,
     c2w_to_w2c,
     camera_position_from_spherical,
@@ -12,6 +14,8 @@ from dreammesh4d_tpu.ops.cameras import (
     get_rays,
     look_at_c2w,
 )
+
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
 
 
 def test_ray_directions_center_pixel():

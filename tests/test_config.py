@@ -3,12 +3,15 @@ import os
 import pytest
 
 from dreammesh4d_tpu.config import (
+
     load_config,
     merge_dicts,
     parse_dotlist,
     parse_structured,
     resolve,
 )
+
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
 
 
 def test_merge_and_dotlist():

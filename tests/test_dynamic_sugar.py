@@ -28,6 +28,8 @@ from dreammesh4d_tpu.models.geometry.sugar import SuGaRConfig, create_sugar
 from dreammesh4d_tpu.ops.quaternion import quat_apply, quat_exp
 from dreammesh4d_tpu.utils.procedural import make_icosphere
 
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
+
 CFG_SMALL = DeformationConfig(base_resolution=(16, 16, 16, 8), multires=(1, 2))
 
 

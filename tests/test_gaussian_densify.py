@@ -1,8 +1,10 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dreammesh4d_tpu.models.geometry.gaussian import (
+
     DensifyStats,
     GaussianConfig,
     GaussianState,
@@ -15,6 +17,8 @@ from dreammesh4d_tpu.models.geometry.gaussian import (
     reset_opacity,
     update_stats,
 )
+
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
 
 CFG = GaussianConfig(capacity=256, init_num=64, max_new_per_step=32,
                      spatial_extent=1.0, percent_dense=0.1)

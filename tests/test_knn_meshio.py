@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,8 @@ from dreammesh4d_tpu.export.mesh_io import (
 )
 from dreammesh4d_tpu.ops.knn import dist_knn3_mean, knn
 from dreammesh4d_tpu.utils.procedural import make_icosphere
+
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
 
 
 def test_knn_vs_bruteforce():

@@ -84,6 +84,7 @@ def test_dynamic_stage_launches(assets, tmp_path):
         "system.renderer.backend=xla", "system.renderer.tile_capacity=128",
         "trainer.max_steps=3", "trainer.val_check_interval=100",
         f"exp_root_dir={tmp_path}/out", "use_timestamp=false", "tag=dyn",
+        "data.predict_height=64", "data.predict_width=64",
         "resume=LAST",
     ])
     objs = []
@@ -180,6 +181,7 @@ def test_dynamic_stage_with_sds_guidance(assets, tmp_path):
         "trainer.max_steps=2", "trainer.val_check_interval=100",
         f"exp_root_dir={tmp_path}/out", "use_timestamp=false", "tag=dynsds",
         f"system.guidance.pretrained_model_name_or_path={ckpt}",
+        "system.freq.guidance_eval=2",
         *TINY_GUIDANCE_OVERRIDES,
     ])
     trial = os.path.join(str(tmp_path), "out", "sugar-dynamic", "dynsds")
@@ -190,3 +192,6 @@ def test_dynamic_stage_with_sds_guidance(assets, tmp_path):
     vals = [float(r["loss_sds_zero123"]) for r in rows]
     assert all(math.isfinite(v) for v in vals), vals
     assert any(v != 0.0 for v in vals), vals
+    # freq.guidance_eval cadence: SDS diagnostics grid saved at step 2
+    # (reference base.py:344-402)
+    assert os.path.exists(os.path.join(trial, "save", "it2-guidance.png"))

@@ -1,16 +1,20 @@
 """Logger backends (utils/loggers.py)."""
 
+import pytest
 import csv
 import os
 import warnings
 
 from dreammesh4d_tpu.utils.loggers import (
+
     CSVLogger,
     LoggerCollection,
     TensorBoardLogger,
     WandbLogger,
     build_loggers,
 )
+
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
 
 
 def test_csv_logger_roundtrip(tmp_path):

@@ -1,11 +1,14 @@
 """PBR + neural-radiance materials and textured background."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dreammesh4d_tpu.models.background import TexturedBackground
 from dreammesh4d_tpu.models.materials import NeuralRadianceMaterial, PBRMaterial
+
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
 
 
 def _dirs(n, key=0):

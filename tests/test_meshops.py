@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -14,6 +15,8 @@ from dreammesh4d_tpu.ops.meshops import (
 )
 from dreammesh4d_tpu.ops.quaternion import quat_exp, quat_to_matrix
 from dreammesh4d_tpu.utils.procedural import make_icosphere
+
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
 
 
 def test_face_normals_outward_on_sphere():

@@ -1,10 +1,13 @@
 """PSNR/SSIM evaluators."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dreammesh4d_tpu.utils.metrics import psnr, ssim
+
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
 
 
 def test_psnr_known_values():

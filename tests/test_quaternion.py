@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from dreammesh4d_tpu.ops.quaternion import (
+
     dq_apply,
     dq_blend,
     dq_from_quat_translation,
@@ -19,6 +20,8 @@ from dreammesh4d_tpu.ops.quaternion import (
     quat_normalize,
     quat_to_matrix,
 )
+
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
 
 
 def rand_quats(key, n):

@@ -12,6 +12,8 @@ import pytest
 
 import dreammesh4d_tpu as ds
 
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
+
 # every name the reference registers (threestudio + the dreammesh4d plugin)
 REFERENCE_NAMES = [
     # data

@@ -1,8 +1,11 @@
+import pytest
 import math
 
 import jax.numpy as jnp
 
 from dreammesh4d_tpu.utils.schedule import C, C_jax, C_max
+
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
 
 
 def test_constant():

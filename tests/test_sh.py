@@ -1,8 +1,11 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dreammesh4d_tpu.ops.sh import C0, eval_sh, num_sh_bases, rgb_to_sh_dc, sh_dc_to_rgb, sh_to_rgb
+
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
 
 
 def test_dc_only():

@@ -10,6 +10,8 @@ import pytest
 from dreammesh4d_tpu.ops.shape_loss import ShapeLoss, _ce_pq, winding_number
 from dreammesh4d_tpu.utils.procedural import make_icosphere
 
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
+
 
 def test_winding_number_inside_outside():
     mesh = make_icosphere(2, radius=0.5)

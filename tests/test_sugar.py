@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +14,8 @@ from dreammesh4d_tpu.ops.meshops import face_normals
 from dreammesh4d_tpu.ops.quaternion import quat_apply
 from dreammesh4d_tpu.ops.sh import sh_dc_to_rgb
 from dreammesh4d_tpu.utils.procedural import make_icosphere
+
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
 
 
 def build(G=6, sub=1):

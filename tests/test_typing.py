@@ -7,6 +7,8 @@ import pytest
 from dreammesh4d_tpu.ops.quaternion import quat_apply, quat_multiply, quat_to_matrix
 from dreammesh4d_tpu.utils import typing as dt
 
+pytestmark = pytest.mark.quick  # core <5-min CPU tier
+
 
 @pytest.fixture
 def checked():
