@@ -64,6 +64,36 @@ def _pixel_grid(tiles_x_ref):
     return px, py
 
 
+def _grad_sums(d_power, dx, dy, rows):
+    """Shared-product geometry + opacity gradient sums.
+
+    The six backward reductions are pixel sums of ``d_power`` times degree-≤2
+    polynomials in (dx, dy) with per-gaussian coefficients.  Sharing the
+    products t1 = d_power·dx, t2 = d_power·dy and factoring the per-gaussian
+    scalars OUT of the positional sums
+
+        d_mx = −Σ d_power·(ca·dx + cb·dy) = −(ca·Σt1 + cb·Σt2)
+
+    cuts the VPU work to 5 (G,P) multiplies + 6 reductions (from ~10
+    multiplies + 5 reductions + an exp(power) recompute — the opacity grad is
+    Σd_power/op since d_power = d_raw·op·exp(power) wherever nonzero).  (A
+    (G,P)x(P,6) moment-matmul formulation was measured SLOWER: the f32 MXU
+    pass with 6→128 padded output lanes costs more than these VPU chains.)
+    Returns (d_mx, d_my, d_ca, d_cb, d_cc, Σd_power)."""
+    t1 = d_power * dx
+    t2 = d_power * dy
+    s0 = jnp.sum(d_power, axis=1, keepdims=True)
+    sx = jnp.sum(t1, axis=1, keepdims=True)
+    sy = jnp.sum(t2, axis=1, keepdims=True)
+    d_ca = -0.5 * jnp.sum(t1 * dx, axis=1, keepdims=True)
+    d_cb = -jnp.sum(t1 * dy, axis=1, keepdims=True)
+    d_cc = -0.5 * jnp.sum(t2 * dy, axis=1, keepdims=True)
+    ca = rows[:, 2:3]; cb = rows[:, 3:4]; cc = rows[:, 4:5]
+    d_mx = -(ca * sx + cb * sy)
+    d_my = -(cc * sy + cb * sx)
+    return d_mx, d_my, d_ca, d_cb, d_cc, s0
+
+
 def _group_geometry(rows, px, py, g0, count):
     """Shared fwd/bwd per-group math.  rows: (GROUP, ROW).
     Returns (alpha, power, dx, dy, live, clamped) each (GROUP, P)-shaped
@@ -207,18 +237,8 @@ def _bwd_kernel(n_channels: int, group: int, counts_ref, tiles_x_ref, data_ref,
         d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
         d_raw = jnp.where(clamped, 0.0, d_alpha)
         d_power = d_raw * alpha  # (GROUP,P)
-        # d_power = d_raw·op·exp(power) wherever it is nonzero, so the
-        # opacity grad Σ d_raw·exp(power) is rowsum(d_power)/op — one less
-        # (GROUP,P) masked reduction chain
-        op = rows[:, OP_COL:OP_COL + 1]
-        d_op = jnp.sum(d_power, axis=1, keepdims=True) / jnp.maximum(op, 1e-12)
-
-        ca = rows[:, 2:3]; cb = rows[:, 3:4]; cc = rows[:, 4:5]
-        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1, keepdims=True)
-        d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
-        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
-        d_mx = jnp.sum(d_power * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
-        d_my = jnp.sum(d_power * (-(cc * dy + cb * dx)), axis=1, keepdims=True)
+        d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums(d_power, dx, dy, rows)
+        d_op = s0 / jnp.maximum(rows[:, OP_COL:OP_COL + 1], 1e-12)
         # d_col: (GROUP,P)x(P,C) -> (GROUP,C)
         d_col = jax.lax.dot_general(
             w, g_col, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32

@@ -37,6 +37,7 @@ from .pallas_blend import (
     ROW,
     T_EPS,
     _exclusive_transmittance,
+    _grad_sums,
     _group_geometry,
     _matmul_bf16,
     _pack_rows,
@@ -160,14 +161,8 @@ def _bwd_kernel(n_channels: int, cap: int, group: int,
         d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
         d_raw = jnp.where(clamped, 0.0, d_alpha)
         d_power = d_raw * alpha
-        d_op = jnp.sum(d_raw * jnp.exp(power) * live.astype(jnp.float32),
-                       axis=1, keepdims=True)
-        ca = rows[:, 2:3]; cb = rows[:, 3:4]; cc = rows[:, 4:5]
-        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1, keepdims=True)
-        d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
-        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
-        d_mx = jnp.sum(d_power * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
-        d_my = jnp.sum(d_power * (-(cc * dy + cb * dx)), axis=1, keepdims=True)
+        d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums(d_power, dx, dy, rows)
+        d_op = s0 / jnp.maximum(rows[:, OP_COL:OP_COL + 1], 1e-12)
         d_col = jax.lax.dot_general(
             w, g_col, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -249,14 +244,8 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int,
         d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
         d_raw = jnp.where(clamped, 0.0, d_alpha)
         d_power = d_raw * alpha
-        d_op = jnp.sum(d_raw * jnp.exp(power) * live.astype(jnp.float32),
-                       axis=1, keepdims=True)
-        ca = rows[:, 2:3]; cb = rows[:, 3:4]; cc = rows[:, 4:5]
-        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1, keepdims=True)
-        d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
-        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
-        d_mx = jnp.sum(d_power * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
-        d_my = jnp.sum(d_power * (-(cc * dy + cb * dx)), axis=1, keepdims=True)
+        d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums(d_power, dx, dy, rows)
+        d_op = s0 / jnp.maximum(rows[:, OP_COL:OP_COL + 1], 1e-12)
         d_col = jax.lax.dot_general(
             w, g_col, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
