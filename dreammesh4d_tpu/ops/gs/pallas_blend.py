@@ -145,6 +145,19 @@ def _matmul_bf16(a, b):
     )
 
 
+def _dot(a, b, dims, bf16: bool):
+    """dot_general with f32 accumulation; optionally bf16 inputs (ONE MXU
+    pass instead of the ~3 of an f32 dot).  Used for the color/cotangent
+    matmuls where inputs are bounded ([0,1] colors/weights) or rounding is
+    gradient noise (~2^-8 relative) — gated by RasterizerConfig.bf16_matmuls
+    so parity tests keep exact f32."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _exclusive_transmittance(alpha, trans):
     """Per-gaussian exclusive transmittance within the group.
     alpha: (GROUP, P); trans: (1, P) carry.  Returns (T_excl (GROUP,P),
@@ -161,7 +174,7 @@ def _exclusive_transmittance(alpha, trans):
     return t_excl, t_out
 
 
-def _fwd_kernel(n_channels: int, group: int, counts_ref, tiles_x_ref, data_ref, out_ref):
+def _fwd_kernel(n_channels: int, group: int, mm_bf16: bool, counts_ref, tiles_x_ref, data_ref, out_ref):
     px, py = _pixel_grid(tiles_x_ref)
     t = pl.program_id(0)
     count = counts_ref[t]
@@ -176,9 +189,7 @@ def _fwd_kernel(n_channels: int, group: int, counts_ref, tiles_x_ref, data_ref, 
         t_excl, t_out = _exclusive_transmittance(alpha, trans)
         w = alpha * t_excl  # (GROUP, P)
         cols = rows[:, 5:5 + C]  # (GROUP, C)
-        acc = acc + jax.lax.dot_general(
-            cols, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (C, P)
+        acc = acc + _dot(cols, w, ((0,), (0,)), mm_bf16)  # (C, P)
         return g + 1, t_out, acc
 
     def cond(carry):
@@ -192,7 +203,7 @@ def _fwd_kernel(n_channels: int, group: int, counts_ref, tiles_x_ref, data_ref, 
     out_ref[0, C, :] = trans[0]
 
 
-def _bwd_kernel(n_channels: int, group: int, counts_ref, tiles_x_ref, data_ref,
+def _bwd_kernel(n_channels: int, group: int, mm_bf16: bool, counts_ref, tiles_x_ref, data_ref,
                 fwd_out_ref, cot_ref, grad_ref):
     """Front-to-back replay.  cot rows: (C+1, P) = [g_colors, g_T] where g_T
     already folds the background and alpha cotangents (plain-JAX wrapper)."""
@@ -221,9 +232,7 @@ def _bwd_kernel(n_channels: int, group: int, counts_ref, tiles_x_ref, data_ref,
         cols = rows[:, 5:5 + C]  # (GROUP, C)
 
         # g·c_k per gaussian: (GROUP,C)x(C,P) -> (GROUP,P)
-        gdotc = jax.lax.dot_general(
-            cols, g_col, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        gdotc = _dot(cols, g_col, ((1,), (0,)), mm_bf16)
         # inclusive prefix of g·(w_k c_k) within the group — triangular MXU
         # matmul (Mosaic has no cumsum lowering)
         contrib = gdotc * w  # (GROUP, P)
@@ -240,9 +249,7 @@ def _bwd_kernel(n_channels: int, group: int, counts_ref, tiles_x_ref, data_ref,
         d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums(d_power, dx, dy, rows)
         d_op = s0 / jnp.maximum(rows[:, OP_COL:OP_COL + 1], 1e-12)
         # d_col: (GROUP,P)x(P,C) -> (GROUP,C)
-        d_col = jax.lax.dot_general(
-            w, g_col, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        d_col = _dot(w, g_col, ((1,), (1,)), mm_bf16)
         pad = jnp.zeros((group, OP_COL - 5 - C), jnp.float32)
         tail = jnp.zeros((group, ROW - OP_COL - 1), jnp.float32)
         grad_rows = jnp.concatenate(
@@ -280,20 +287,21 @@ def _pack_rows(means2d, conics, colors, opacities):
     return jnp.concatenate([rows, jnp.zeros((1, ROW), jnp.float32)], 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def blend_tiles_pallas(
     tile_gauss, tile_counts, means2d, conics_colors, opacities,
     W: int, H: int, n_channels: int, interpret: bool, group: int = GROUP,
+    mm_bf16: bool = False,
 ):
     out, _ = _blend_fwd_impl(
         tile_gauss, tile_counts, means2d, conics_colors, opacities, W, H,
-        n_channels, interpret, group,
+        n_channels, interpret, group, mm_bf16,
     )
     return out
 
 
 def _blend_fwd_impl(tile_gauss, tile_counts, means2d, conics_colors, opacities,
-                    W, H, n_channels, interpret, group):
+                    W, H, n_channels, interpret, group, mm_bf16):
     conics, colors = conics_colors
     T, K = tile_gauss.shape
     C = n_channels
@@ -308,7 +316,7 @@ def _blend_fwd_impl(tile_gauss, tile_counts, means2d, conics_colors, opacities,
         out_specs=pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, C, group),
+        functools.partial(_fwd_kernel, C, group, mm_bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, C + 1, P), jnp.float32),
         interpret=interpret,
@@ -317,14 +325,14 @@ def _blend_fwd_impl(tile_gauss, tile_counts, means2d, conics_colors, opacities,
 
 
 def _blend_fwd_rule(tile_gauss, tile_counts, means2d, conics_colors, opacities,
-                    W, H, n_channels, interpret, group):
+                    W, H, n_channels, interpret, group, mm_bf16):
     return _blend_fwd_impl(
         tile_gauss, tile_counts, means2d, conics_colors, opacities, W, H,
-        n_channels, interpret, group,
+        n_channels, interpret, group, mm_bf16,
     )
 
 
-def _blend_bwd_rule(W, H, n_channels, interpret, group, res, cot):
+def _blend_bwd_rule(W, H, n_channels, interpret, group, mm_bf16, res, cot):
     tile_gauss, tile_counts, means2d, conics, colors, opacities, tile_data, fwd_out = res
     T, K = tile_gauss.shape
     C = n_channels
@@ -342,7 +350,7 @@ def _blend_bwd_rule(W, H, n_channels, interpret, group, res, cot):
         out_specs=pl.BlockSpec((1, K, ROW), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     tile_grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, C, group),
+        functools.partial(_bwd_kernel, C, group, mm_bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, K, ROW), jnp.float32),
         interpret=interpret,
@@ -375,6 +383,7 @@ def blend_image_pallas(
     background: jnp.ndarray,
     interpret: bool = False,
     group: int = GROUP,
+    mm_bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full-image blend through the Pallas kernel: (rgb_HWC, alpha_HW1,
     depth_HW1) with background composited — matches blend.blend_tiles.
@@ -391,7 +400,7 @@ def blend_image_pallas(
 
     out = blend_tiles_pallas(
         tile_gauss, tile_counts, means2d, (conics, colors_aug), opacities,
-        W, H, C, interpret, group,
+        W, H, C, interpret, group, mm_bf16,
     )  # (T, C+1, P)
 
     acc = out[:, :C, :]

@@ -36,6 +36,7 @@ from .pallas_blend import (
     P,
     ROW,
     T_EPS,
+    _dot,
     _exclusive_transmittance,
     _grad_sums,
     _group_geometry,
@@ -70,7 +71,7 @@ def _read_group_rows(table_ref, idx_smem, base, g0, group):
     return jnp.stack(rows, 0)  # (group, ROW)
 
 
-def _fwd_kernel(n_channels: int, cap: int, group: int,
+def _fwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
                 counts_ref, starts_ref, tiles_x_ref,
                 table_ref, pairs_hbm, out_ref, idx_smem, sem):
     px, py = _pixel_grid(tiles_x_ref)
@@ -98,9 +99,7 @@ def _fwd_kernel(n_channels: int, cap: int, group: int,
         t_excl, t_out = _exclusive_transmittance(alpha, trans)
         w = alpha * t_excl
         cols = rows[:, 5:5 + C]
-        acc = acc + jax.lax.dot_general(
-            cols, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        acc = acc + _dot(cols, w, ((0,), (0,)), mm_bf16)
         return g + 1, t_out, acc
 
     def cond(carry):
@@ -114,7 +113,7 @@ def _fwd_kernel(n_channels: int, cap: int, group: int,
     out_ref[0, C, :] = trans[0]
 
 
-def _bwd_kernel(n_channels: int, cap: int, group: int,
+def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
                 counts_ref, starts_ref, tiles_x_ref,
                 table_ref, pairs_hbm, fwd_out_ref, cot_ref,
                 grads_ref, idx_smem, sem):
@@ -149,9 +148,7 @@ def _bwd_kernel(n_channels: int, cap: int, group: int,
         w = alpha * t_excl
         cols = rows[:, 5:5 + C]
 
-        gdotc = jax.lax.dot_general(
-            cols, g_col, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        gdotc = _dot(cols, g_col, ((1,), (0,)), mm_bf16)
         contrib = gdotc * w
         prefix = gdot_cpre + _matmul_bf16(_tri_incl(group), contrib)
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
@@ -163,9 +160,7 @@ def _bwd_kernel(n_channels: int, cap: int, group: int,
         d_power = d_raw * alpha
         d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums(d_power, dx, dy, rows)
         d_op = s0 / jnp.maximum(rows[:, OP_COL:OP_COL + 1], 1e-12)
-        d_col = jax.lax.dot_general(
-            w, g_col, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        d_col = _dot(w, g_col, ((1,), (1,)), mm_bf16)
         pad = jnp.zeros((group, OP_COL - 5 - C), jnp.float32)
         tail = jnp.zeros((group, ROW - OP_COL - 1), jnp.float32)
         grad_rows = jnp.concatenate(
@@ -184,7 +179,7 @@ def _bwd_kernel(n_channels: int, cap: int, group: int,
     jax.lax.while_loop(cond, body, (0, trans0, gpre0))
 
 
-def _bwd_kernel_accum(n_channels: int, cap: int, group: int,
+def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
                       counts_ref, starts_ref, tiles_x_ref,
                       table_ref, pairs_hbm, fwd_out_ref, cot_ref,
                       grads_ref, idx_smem, sem):
@@ -232,9 +227,7 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int,
         w = alpha * t_excl
         cols = rows[:, 5:5 + C]
 
-        gdotc = jax.lax.dot_general(
-            cols, g_col, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        gdotc = _dot(cols, g_col, ((1,), (0,)), mm_bf16)
         contrib = gdotc * w
         prefix = gdot_cpre + _matmul_bf16(_tri_incl(group), contrib)
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
@@ -246,9 +239,7 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int,
         d_power = d_raw * alpha
         d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums(d_power, dx, dy, rows)
         d_op = s0 / jnp.maximum(rows[:, OP_COL:OP_COL + 1], 1e-12)
-        d_col = jax.lax.dot_general(
-            w, g_col, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        d_col = _dot(w, g_col, ((1,), (1,)), mm_bf16)
         pad = jnp.zeros((group, OP_COL - 5 - C), jnp.float32)
         tail = jnp.zeros((group, ROW - OP_COL - 1), jnp.float32)
         grad_rows = jnp.concatenate(
@@ -268,20 +259,21 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int,
     jax.lax.while_loop(cond, body, (0, trans0, gpre0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def blend_pairs_pallas(
     sorted_gauss, starts_counts, means2d, conics_colors, opacities,
     W: int, H: int, n_channels: int, cap: int, interpret: bool,
-    group: int = GROUP, bwd_accum: bool = True,
+    group: int = GROUP, bwd_accum: bool = True, mm_bf16: bool = False,
 ):
     """starts_counts = (starts, counts, sorted_tile, sorted_origpos)."""
     out, _ = _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors,
-                       opacities, W, H, n_channels, cap, interpret, group)
+                       opacities, W, H, n_channels, cap, interpret, group,
+                       mm_bf16)
     return out
 
 
 def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
-              W, H, n_channels, cap, interpret, group):
+              W, H, n_channels, cap, interpret, group, mm_bf16):
     conics, colors = conics_colors
     starts, counts, sorted_tile, sorted_origpos = starts_counts
     T = starts.shape[0]
@@ -304,7 +296,7 @@ def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
         scratch_shapes=[pltpu.SMEM((dma_window(cap),), jnp.int32), pltpu.SemaphoreType.DMA(())],
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, C, cap, group),
+        functools.partial(_fwd_kernel, C, cap, group, mm_bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, C + 1, P), jnp.float32),
         interpret=interpret,
@@ -316,12 +308,13 @@ def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
 
 
 def _fwd_rule(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
-              W, H, n_channels, cap, interpret, group, bwd_accum):
+              W, H, n_channels, cap, interpret, group, bwd_accum, mm_bf16):
     return _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors,
-                     opacities, W, H, n_channels, cap, interpret, group)
+                     opacities, W, H, n_channels, cap, interpret, group,
+                     mm_bf16)
 
 
-def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, res, cot):
+def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
     """In-kernel per-gaussian accumulation: the kernel's output IS the
     (N+1, ROW) gradient table — no permutation sort, no row-gathers."""
     (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
@@ -349,7 +342,7 @@ def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, res, cot):
         ],
     )
     acc = pl.pallas_call(
-        functools.partial(_bwd_kernel_accum, C, cap, group),
+        functools.partial(_bwd_kernel_accum, C, cap, group, mm_bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N + 1, ROW), jnp.float32),
         interpret=interpret,
@@ -364,13 +357,14 @@ def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, res, cot):
 
 
 def _bwd_rule_dispatch(W, H, n_channels, cap, interpret, group, bwd_accum,
-                       res, cot):
+                       mm_bf16, res, cot):
     if bwd_accum:
-        return _bwd_rule_accum(W, H, n_channels, cap, interpret, group, res, cot)
-    return _bwd_rule(W, H, n_channels, cap, interpret, group, res, cot)
+        return _bwd_rule_accum(W, H, n_channels, cap, interpret, group,
+                               mm_bf16, res, cot)
+    return _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot)
 
 
-def _bwd_rule(W, H, n_channels, cap, interpret, group, res, cot):
+def _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
     (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
      conics, colors, opacities, rows, pairs, fwd_out) = res
     T = starts.shape[0]
@@ -397,7 +391,7 @@ def _bwd_rule(W, H, n_channels, cap, interpret, group, res, cot):
         ],
     )
     tile_grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, C, cap, group),
+        functools.partial(_bwd_kernel, C, cap, group, mm_bf16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, cap, ROW), jnp.float32),
         interpret=interpret,
@@ -459,6 +453,7 @@ def blend_image_resident(
     interpret: bool = False,
     group: int = GROUP,
     bwd_accum: bool = True,
+    mm_bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full-image blend through the resident kernel (same outputs/contract as
     pallas_blend.blend_image_pallas)."""
@@ -471,7 +466,7 @@ def blend_image_resident(
     out = blend_pairs_pallas(
         pa.sorted_gauss, (pa.starts, pa.counts, pa.sorted_tile, pa.sorted_origpos),
         means2d, (conics, colors_aug), opacities, W, H, C, cap, interpret, group,
-        bwd_accum,
+        bwd_accum, mm_bf16,
     )
     acc = out[:, :C, :]
     t_final = out[:, C, :]

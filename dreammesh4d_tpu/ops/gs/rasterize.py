@@ -78,6 +78,11 @@ class RasterizerConfig(NamedTuple):
     # kernel (VMEM (N+1,16) table) instead of emitting per-pair rows and
     # reducing with a sort + M row-gathers.
     bwd_accum: bool = True
+    # bf16 inputs (f32 accumulation) for the color/cotangent matmuls in the
+    # Pallas kernels — ONE MXU pass vs ~3 for f32.  Colors/weights are in
+    # [0,1] and the gradient rounding (~2^-8 relative) is far below SDS
+    # noise; parity tests keep the exact f32 default.
+    bf16_matmuls: bool = False
 
 
 def rasterize(
@@ -162,7 +167,7 @@ def _rasterize_projected(
             colors, opacities, proj.depths, cfg.width, cfg.height, background,
             cap=cfg.tile_capacity, interpret=cfg.interpret,
             group=_auto_group(cfg, proj.means2d.shape[0]),
-            bwd_accum=cfg.bwd_accum,
+            bwd_accum=cfg.bwd_accum, mm_bf16=cfg.bf16_matmuls,
         )
         return RasterizeOutput(rgb, proj.radii, depth, alpha)
     assign = bin_gaussians(
@@ -193,6 +198,7 @@ def _rasterize_projected(
             background,
             interpret=cfg.interpret,
             group=_auto_group(cfg, proj.means2d.shape[0]),
+            mm_bf16=cfg.bf16_matmuls,
         )
         return RasterizeOutput(rgb, proj.radii, depth, alpha)
     out: BlendOutput = blend_tiles(

@@ -87,6 +87,7 @@ def build_raster_config(height, width, fovy_deg: float,
         chunk=int(r.get("chunk", 32)),
         backend=str(r.get("backend", "pallas_resident")),
         interpret=bool(r.get("interpret", False)),
+        bf16_matmuls=bool(r.get("bf16_matmuls", False)),
     )
 
 

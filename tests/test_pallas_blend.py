@@ -206,3 +206,42 @@ def test_resident_bwd_accum_matches_reduction():
     for k in params:
         np.testing.assert_allclose(np.asarray(ga[k]), np.asarray(gb[k]),
                                    atol=1e-5, err_msg=k)
+
+
+def test_resident_bf16_matmuls_close_to_f32():
+    """bf16_matmuls (bf16-input color/cotangent matmuls, f32 accumulation)
+    must track the exact-f32 kernel within bf16 rounding: forward within
+    ~1e-2 absolute on [0,1] colors, gradients within ~2% of the grad scale."""
+    scene = make_scene(N=80, seed=5)
+    p, quats, scales, colors, opac, cam = scene
+    t = float(np.tan(FOV / 2))
+    base = dict(width=32, height=32, tan_fovx=t, tan_fovy=t, tile_capacity=256,
+                chunk=32, backend="pallas_resident", interpret=True)
+    cfg_f32 = RasterizerConfig(**base, bf16_matmuls=False)
+    cfg_bf16 = RasterizerConfig(**base, bf16_matmuls=True)
+    bg = jnp.asarray([0.2, 0.4, 0.6])
+    out_a = render(cfg_f32, *scene, bg)
+    out_b = render(cfg_bf16, *scene, bg)
+    np.testing.assert_allclose(np.asarray(out_b.rgb), np.asarray(out_a.rgb), atol=1.5e-2)
+
+    target = jnp.full((32, 32, 3), 0.25)
+
+    def loss(cfg, params):
+        out = rasterize(
+            params["p"], jax.nn.sigmoid(params["ol"]), cam, cfg, bg,
+            colors=jax.nn.sigmoid(params["c"]), scales=jnp.exp(params["ls"]),
+            quats=params["q"],
+        )
+        return ((out.rgb - target) ** 2).mean()
+
+    params = {
+        "p": p, "q": quats, "ls": jnp.log(scales),
+        "c": jnp.log(colors / (1 - colors + 1e-6)), "ol": jnp.full((80,), 0.5),
+    }
+    ga = jax.grad(lambda pr: loss(cfg_f32, pr))(params)
+    gb = jax.grad(lambda pr: loss(cfg_bf16, pr))(params)
+    for k in params:
+        a, b = np.asarray(ga[k]), np.asarray(gb[k])
+        assert np.isfinite(b).all(), k
+        denom = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / denom, a / denom, atol=2e-2, err_msg=k)
