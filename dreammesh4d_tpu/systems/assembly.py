@@ -369,10 +369,22 @@ class SugarStaticExperiment:
         self.rng = jax.random.PRNGKey(cfg.seed)
 
     def train_step(self, step: int) -> Dict[str, float]:
+        from ..utils.schedule import C_max
+
         batch = self.data.train_batch(step)
         keep = ("ref_cameras", "ref_rgb", "ref_mask", "rand_cameras")
         if self._gstate is not None:  # SDS conditioning needs the view poses
             keep += ("elevation", "azimuth", "camera_distances")
+        # ref geometry supervision / normal-depth agreement inputs
+        loss_d = dict(self.cfg.system.get("loss", {}))
+        if C_max(loss_d.get("lambda_depth", 0)) > 0 or C_max(loss_d.get("lambda_depth_rel", 0)) > 0:
+            keep += ("ref_depth",)
+        if C_max(loss_d.get("lambda_normal", 0)) > 0:
+            keep += ("ref_normal",)
+        if C_max(loss_d.get("lambda_normal_depth_consistency", 0)) > 0:
+            batch["rand_rays_o"] = batch["rays_o"]
+            batch["rand_rays_d"] = batch["rays_d"]
+            keep += ("rand_rays_o", "rand_rays_d")
         batch = {k: batch[k] for k in keep}
         self.rng, k = jax.random.split(self.rng)
         self.state, metrics = self._train_step(self.state, batch, k, self._gstate)

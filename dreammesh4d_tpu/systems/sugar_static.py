@@ -33,7 +33,11 @@ from ..models.geometry.sugar import (
     SuGaRStatic,
     gaussian_attributes,
 )
-from ..models.renderers.sugar_rasterizer import CameraBatch, render_batch
+from ..models.renderers.sugar_rasterizer import (
+    CameraBatch,
+    depth_to_normal,
+    render_batch,
+)
 from ..ops.gs import RasterizerConfig
 from ..ops.meshops import (
     face_normals,
@@ -56,6 +60,12 @@ class SugarStaticLosses:
     lambda_rgb_tv: Any = 1.0
     lambda_normal_tv: Any = 1.0
     lambda_depth_tv: Any = 1.0
+    # ref-view geometry supervision + the normal/depth agreement term
+    # (reference sugar_static.py:160-190, 262-271)
+    lambda_depth: Any = 0.0
+    lambda_depth_rel: Any = 0.0
+    lambda_normal: Any = 0.0
+    lambda_normal_depth_consistency: Any = 0.0
 
 
 class TrainState(NamedTuple):
@@ -91,6 +101,12 @@ def make_train_step(
     bg_base = jnp.asarray(bg_color, jnp.float32)
     G = static.n_per_face
     ref_cfg = ref_raster_cfg or raster_cfg
+    from ..utils.schedule import C_max
+
+    need_depth = C_max(losses.lambda_depth) > 0
+    need_depth_rel = C_max(losses.lambda_depth_rel) > 0
+    need_normal = C_max(losses.lambda_normal) > 0
+    need_nd_consistency = C_max(losses.lambda_normal_depth_consistency) > 0
 
     def loss_fn(params: SuGaRParams, batch, rng, step, gstate):
         attrs = gaussian_attributes(params, static)
@@ -113,6 +129,31 @@ def make_train_step(
         terms["rgb"] = ((gt_rgb - ref_out["comp_rgb"] * gt_mask) ** 2).mean()
         terms["mask"] = ((gt_mask - ref_out["comp_mask"]) ** 2).mean()
 
+        # ref-view geometry supervision (sugar_static.py:160-190): lstsq-
+        # aligned depth MSE, Pearson relative depth, normal cosine — shared
+        # helpers with the zero123 system
+        m_bool = gt_mask > 0.5
+        if (need_depth or need_depth_rel) and "ref_depth" in batch:
+            from .zero123_system import masked_lstsq_depth_loss, masked_pearson
+
+            mflat = m_bool[..., 0].astype(jnp.float32)
+            if need_depth:
+                terms["depth"] = masked_lstsq_depth_loss(
+                    ref_out["comp_depth"][..., 0], batch["ref_depth"][..., 0], mflat
+                )
+            if need_depth_rel:
+                terms["depth_rel"] = 1.0 - masked_pearson(
+                    ref_out["comp_depth"][..., 0], batch["ref_depth"][..., 0], mflat
+                )
+        if need_normal and "ref_normal" in batch:
+            gt_n = 1.0 - 2.0 * batch["ref_normal"]  # reference flips (zero123.py:125)
+            pred_n = 2.0 * ref_out["comp_normal"] - 1.0
+            cos = (pred_n * gt_n).sum(-1) / (
+                jnp.linalg.norm(pred_n, axis=-1) * jnp.linalg.norm(gt_n, axis=-1) + 1e-8
+            )
+            m1 = m_bool[..., 0].astype(jnp.float32)
+            terms["normal"] = 1.0 - (cos * m1).sum() / jnp.maximum(m1.sum(), 1.0)
+
         # --- rand substep -----------------------------------------------------
         rand_out = render_batch(
             attrs.means3d, attrs.quats, attrs.scales, attrs.opacities, attrs.sh,
@@ -129,6 +170,19 @@ def make_train_step(
             params.points, (static.ring_idx, static.ring_mask)
         )
         terms["opacity_max"] = jnp.abs(attrs.opacities - 1.0).mean()
+        if need_nd_consistency:
+            # agreement between the rendered gaussian-normal map and the
+            # normal derived from the rendered depth (diff_sugar_rasterizer_
+            # normal.py:172-181 + sugar_static.py:262-271)
+            nd_map = depth_to_normal(
+                rand_out["comp_depth"], batch["rand_rays_o"],
+                batch["rand_rays_d"], rand_out["comp_mask"],
+            )
+            raw_n = 2.0 * rand_out["comp_normal"] - 1.0
+            raw_nd = 2.0 * nd_map - 1.0
+            terms["normal_depth_consistency"] = (
+                1.0 - (raw_n * raw_nd).sum(-1)
+            ).mean()
         terms["rgb_tv"] = tv_loss(rand_out["comp_rgb"])
         terms["normal_tv"] = tv_loss(rand_out["comp_normal"])
         terms["depth_tv"] = tv_loss(rand_out["comp_depth"])
@@ -144,6 +198,10 @@ def make_train_step(
             "rgb_tv": losses.lambda_rgb_tv,
             "normal_tv": losses.lambda_normal_tv,
             "depth_tv": losses.lambda_depth_tv,
+            "depth": losses.lambda_depth,
+            "depth_rel": losses.lambda_depth_rel,
+            "normal": losses.lambda_normal,
+            "normal_depth_consistency": losses.lambda_normal_depth_consistency,
         }
         for name, value in terms.items():
             total = total + C_jax(weights[name], step) * value
