@@ -55,6 +55,10 @@ class PromptProcessorConfig:
     context_dim: int = 768
     seq_len: int = 77
     embeddings_path: str = ""  # optional .npz with precomputed embeddings
+    # disk cache + subprocess compute (reference prompt_processors/base.py:345-420)
+    use_cache: bool = True
+    cache_dir: str = ".threestudio_cache/text_embeddings"
+    spawn: bool = False  # compute embeddings in a spawned subprocess
 
 
 class PromptEmbeddings:
@@ -87,6 +91,36 @@ def _hash_embedding(text: str, seq_len: int, dim: int) -> np.ndarray:
     return rng.randn(seq_len, dim).astype(np.float32) * 0.02
 
 
+def hash_prompt(model: str, prompt: str) -> str:
+    """Cache key (reference prompt_processors/base.py hash_prompt parity)."""
+    return hashlib.md5(f"[{model}] {prompt}".encode()).hexdigest()
+
+
+def _clip_spawn_func(pretrained_path: str, prompts, cache_dir: str,
+                     seq_len: int) -> None:
+    """Compute CLIP text embeddings for ``prompts`` and write one ``.npy``
+    per prompt into ``cache_dir`` (the reference's spawn_func,
+    stable_diffusion_prompt_processor.py:31-64).  Runs either inline or in a
+    spawned subprocess — a separate process releases the text-encoder memory
+    before the UNet compiles, same hygiene as the reference."""
+    import os
+
+    from transformers import AutoTokenizer, FlaxCLIPTextModel
+
+    tokenizer = AutoTokenizer.from_pretrained(pretrained_path)
+    encoder = FlaxCLIPTextModel.from_pretrained(pretrained_path)
+    for prompt in prompts:
+        tokens = tokenizer(
+            prompt, padding="max_length", max_length=seq_len,
+            truncation=True, return_tensors="np",
+        )
+        emb = encoder(input_ids=tokens["input_ids"])[0][0]  # (L, C)
+        np.save(
+            os.path.join(cache_dir, f"{hash_prompt(pretrained_path, prompt)}.npy"),
+            np.asarray(emb, np.float32),
+        )
+
+
 @ds.register("stable-diffusion-prompt-processor")
 @ds.register("deep-floyd-prompt-processor")
 class StableDiffusionPromptProcessor:
@@ -99,8 +133,55 @@ class StableDiffusionPromptProcessor:
         self.cfg = cfg or PromptProcessorConfig()
         self.text_params = text_params
 
-    def _embed(self, text: str) -> np.ndarray:
+    def _cache_path(self, text: str) -> str:
+        import os
+
+        return os.path.join(
+            self.cfg.cache_dir,
+            f"{hash_prompt(self.cfg.pretrained_model_name_or_path, text)}.npy",
+        )
+
+    def _has_text_encoder(self) -> bool:
+        import os
+
+        p = str(self.cfg.pretrained_model_name_or_path)
+        return bool(p) and os.path.isdir(p) and (
+            os.path.exists(os.path.join(p, "tokenizer_config.json"))
+            or os.path.exists(os.path.join(p, "tokenizer.json"))
+        )
+
+    def prepare_text_embeddings(self, prompts) -> None:
+        """Compute-and-cache missing embeddings (base.py:349-390): skip
+        prompts already cached; run the CLIP encoder inline or in a spawned
+        subprocess, writing per-prompt .npy files keyed by
+        hash(model, prompt)."""
+        import os
+
         cfg = self.cfg
+        os.makedirs(cfg.cache_dir, exist_ok=True)
+        todo = [p for p in prompts
+                if not (cfg.use_cache and os.path.exists(self._cache_path(p)))]
+        if not todo:
+            return
+        args = (str(cfg.pretrained_model_name_or_path), todo, cfg.cache_dir,
+                cfg.seq_len)
+        if cfg.spawn:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+            proc = ctx.Process(target=_clip_spawn_func, args=args)
+            proc.start()
+            proc.join()
+            assert proc.exitcode == 0, "prompt embedding subprocess failed"
+        else:
+            _clip_spawn_func(*args)
+
+    def _embed(self, text: str) -> np.ndarray:
+        import os
+
+        cfg = self.cfg
+        if cfg.use_cache and os.path.exists(self._cache_path(text)):
+            return np.load(self._cache_path(text))
         if cfg.embeddings_path:
             data = np.load(cfg.embeddings_path)
             if text in data:
@@ -117,6 +198,8 @@ class StableDiffusionPromptProcessor:
             f"{cfg.prompt}, back view",
             f"{cfg.prompt}, overhead view",
         ]
+        if self._has_text_encoder():
+            self.prepare_text_embeddings(views + [cfg.negative_prompt])
         cond = jnp.asarray(np.stack([self._embed(v) for v in views]))
         uncond = jnp.asarray(self._embed(cfg.negative_prompt))
         return PromptEmbeddings(cond, uncond, cfg)
