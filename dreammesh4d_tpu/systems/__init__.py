@@ -1,4 +1,5 @@
 from . import (  # noqa: F401
+    assembly,
     assembly_zoo,
     editing,
     sugar_4dgen,

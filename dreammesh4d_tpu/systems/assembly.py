@@ -295,6 +295,7 @@ class GaussianStageExperiment:
 # ---------------------------------------------------------------------------
 
 
+@ds.register("sugar-static-system")
 class SugarStaticExperiment:
     def __init__(self, cfg):
         from ..systems.optim import sugar_optimizer
@@ -442,6 +443,7 @@ class SugarStaticExperiment:
 # ---------------------------------------------------------------------------
 
 
+@ds.register("sugar-4dgen-system")
 class Sugar4DGenExperiment:
     def __init__(self, cfg):
         import optax
@@ -687,6 +689,7 @@ class Sugar4DGenExperiment:
 # ---------------------------------------------------------------------------
 
 
+@ds.register("zero123-system")
 class Zero123Experiment:
     def __init__(self, cfg):
         import optax

@@ -298,10 +298,3 @@ def make_dynamic_render_eval(
 
     return render_eval
 
-
-@ds.register("sugar-4dgen-system")
-class Sugar4DGenSystem:
-    """Registry-facing wrapper (assembled by the launcher/trainer)."""
-
-    def __init__(self, cfg):
-        self.cfg = cfg

@@ -239,10 +239,3 @@ def make_render_eval(static: SuGaRStatic, raster_cfg: RasterizerConfig, bg_color
 
     return render_eval
 
-
-@ds.register("sugar-static-system")
-class SugarStaticSystem:
-    """Registry-facing wrapper (assembled by the launcher/trainer)."""
-
-    def __init__(self, cfg):
-        self.cfg = cfg

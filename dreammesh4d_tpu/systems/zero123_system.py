@@ -213,10 +213,3 @@ def make_zero123_train_step(
 
     return train_step
 
-
-@ds.register("zero123-system")
-class Zero123System:
-    """Registry-facing wrapper (assembled by the launcher/trainer)."""
-
-    def __init__(self, cfg):
-        self.cfg = cfg

@@ -182,6 +182,9 @@ def test_dynamic_stage_with_sds_guidance(assets, tmp_path):
         f"exp_root_dir={tmp_path}/out", "use_timestamp=false", "tag=dynsds",
         f"system.guidance.pretrained_model_name_or_path={ckpt}",
         "system.freq.guidance_eval=2",
+        # render the SDS views at a second (smaller) raster size — covers the
+        # dual-rasterizer-variant path (guidance_render_size, PERF.md)
+        "system.guidance.guidance_render_size=24",
         *TINY_GUIDANCE_OVERRIDES,
     ])
     trial = os.path.join(str(tmp_path), "out", "sugar-dynamic", "dynsds")
