@@ -47,6 +47,10 @@ class PairAssignment(NamedTuple):
     counts: jnp.ndarray  # (T,) int32 segment lengths
     sorted_tile: jnp.ndarray  # (N*M,) int32 tile id per sorted pair (T = invalid)
     sorted_origpos: jnp.ndarray  # (N*M,) int32 original flat pair id (n*M+m)
+    # rank mode (bin_gaussians_ranks): sorted_gauss holds DEPTH RANKS into a
+    # depth-ordered row table; these map rank-space rows back to gaussians
+    depth_order: jnp.ndarray = None  # (N,) int32 gaussian id at each rank
+    inv_rank: jnp.ndarray = None  # (N,) int32 rank of each gaussian
 
 
 def num_tiles(W: int, H: int) -> tuple[int, int]:
@@ -264,4 +268,81 @@ def bin_gaussians_pairs(
     return PairAssignment(
         sorted_gauss, bounds[:T], (bounds[1:] - bounds[:-1]).astype(jnp.int32),
         sorted_tile, sorted_origpos,
+    )
+
+
+def bin_gaussians_ranks(
+    means2d: jnp.ndarray,
+    radii: jnp.ndarray,
+    depths: jnp.ndarray,
+    mask: jnp.ndarray,
+    W: int,
+    H: int,
+    max_tiles_per_gaussian: int = 16,
+    conics=None,
+    opacities=None,
+) -> PairAssignment:
+    """SINGLE-operand pair sort: the within-tile ordering key is the
+    gaussian's DEPTH RANK, which doubles as its row index in a depth-ordered
+    parameter table — so the rank needs no second sort operand and no
+    unpacking gather.  Costs one N-argsort + one N-sort (inverse permutation)
+    + two (N, c) row gathers outside the big sort; the N·M sort itself moves
+    half the payload of the 2-operand quantized-depth variant.
+
+    Returns ranks in ``sorted_gauss``; callers MUST gather their row tables
+    by ``depth_order`` and un-permute per-gaussian outputs by ``inv_rank``
+    (pallas_resident handles both when cfg.binning == "rank")."""
+    N = means2d.shape[0]
+    tiles_x, tiles_y = num_tiles(W, H)
+    T = tiles_x * tiles_y
+    M = max_tiles_per_gaussian
+    rank_bits = N.bit_length()
+    tile_bits = (T + 1).bit_length()
+    if tile_bits + rank_bits > 31:
+        raise ValueError(f"{T} tiles x {N} gaussians overflow the int32 key")
+
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    depth_order = jnp.argsort(depths).astype(jnp.int32)  # (N,) front-to-back
+    # inverse permutation WITHOUT a scatter: sort (depth_order, iota)
+    _, inv_rank = jax.lax.sort((depth_order, iota_n), num_keys=1)
+
+    # per-pair tiles computed in RANK space: permute the projection outputs
+    # once ((N, c) row gathers, the fast class)
+    mx = means2d[depth_order]
+    r = radii[depth_order].astype(jnp.float32)
+    alive_in = mask[depth_order] & (radii[depth_order] > 0)
+    x0 = jnp.clip(jnp.floor((mx[:, 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((mx[:, 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mx[:, 0] + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((mx[:, 1] + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    span_w = jnp.maximum(x1 - x0, 0)
+    span_h = jnp.maximum(y1 - y0, 0)
+    n_span = span_w * span_h
+    alive = alive_in & (n_span > 0)
+
+    m = jnp.arange(M, dtype=jnp.int32)[:, None]  # (M, 1); N rides the lanes
+    sw = jnp.maximum(span_w, 1)[None, :]
+    dx = m % sw
+    dy = m // sw
+    pair_valid = alive[None, :] & (m < n_span[None, :])
+    if conics is not None and opacities is not None:
+        culled = _tile_cull(x0[None, :] + dx, y0[None, :] + dy,
+                            mx[:, 0][None, :], mx[:, 1][None, :],
+                            conics[depth_order], opacities[depth_order])
+        pair_valid = pair_valid & ~culled
+    tile_ids = jnp.where(pair_valid, (y0[None, :] + dy) * tiles_x + (x0[None, :] + dx), T)
+    rank = jnp.broadcast_to(iota_n[None, :], (M, N))
+    # sentinel pairs carry rank N -> the zero row of the padded table
+    rank = jnp.where(pair_valid, rank, N)
+    keys = ((tile_ids << rank_bits) | rank).reshape(-1)
+
+    sorted_keys = jax.lax.sort(keys)
+    sorted_rank = sorted_keys & ((1 << rank_bits) - 1)
+
+    bounds = jnp.searchsorted(
+        sorted_keys, (jnp.arange(T + 1, dtype=jnp.int32) << rank_bits), side="left"
+    )
+    return PairAssignment(
+        sorted_rank, bounds[:T], (bounds[1:] - bounds[:-1]).astype(jnp.int32),
+        None, None, depth_order=depth_order, inv_rank=inv_rank,
     )

@@ -275,12 +275,16 @@ def blend_pairs_pallas(
 def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
               W, H, n_channels, cap, interpret, group, mm_bf16):
     conics, colors = conics_colors
-    starts, counts, sorted_tile, sorted_origpos = starts_counts
+    starts, counts, sorted_tile, sorted_origpos, perm, inv_rank = starts_counts
     T = starts.shape[0]
     C = n_channels
     tiles_x = (W + TILE - 1) // TILE
     rows = _pack_rows(means2d, conics, colors, opacities)  # (N+1, ROW)
     N = means2d.shape[0]
+    if perm is not None:
+        # rank-mode binning: pair indices are DEPTH RANKS — put the table in
+        # depth order (one (N, ROW) row gather; sentinel row stays last)
+        rows = jnp.concatenate([rows[perm], rows[N:]], 0)
     # pad the pair array so ds(start, cap) never overruns
     pairs = jnp.concatenate([sorted_gauss, jnp.full((dma_window(cap),), N, jnp.int32)], 0)
 
@@ -303,7 +307,7 @@ def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
     )(counts.astype(jnp.int32), starts.astype(jnp.int32),
       jnp.asarray([tiles_x], jnp.int32), rows, pairs)
     res = (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
-           conics, colors, opacities, rows, pairs, out)
+           conics, colors, opacities, rows, pairs, out, inv_rank)
     return out, res
 
 
@@ -318,7 +322,7 @@ def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
     """In-kernel per-gaussian accumulation: the kernel's output IS the
     (N+1, ROW) gradient table — no permutation sort, no row-gathers."""
     (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
-     conics, colors, opacities, rows, pairs, fwd_out) = res
+     conics, colors, opacities, rows, pairs, fwd_out, inv_rank) = res
     T = starts.shape[0]
     C = n_channels
     N = means2d.shape[0]
@@ -349,10 +353,19 @@ def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
     )(counts.astype(jnp.int32), starts.astype(jnp.int32),
       jnp.asarray([tiles_x], jnp.int32), rows, pairs, fwd_out, cot)
 
-    d_means2d = acc[:N, 0:2]
-    d_conics = acc[:N, 2:5]
-    d_colors = acc[:N, 5:5 + C]
-    d_opac = acc[:N, OP_COL]
+    if inv_rank is not None:
+        # rank-mode: rows of acc are in depth order; one (N, ROW) row gather
+        # puts gradients back in gaussian order
+        acc = acc[inv_rank]
+        d_means2d = acc[:, 0:2]
+        d_conics = acc[:, 2:5]
+        d_colors = acc[:, 5:5 + C]
+        d_opac = acc[:, OP_COL]
+    else:
+        d_means2d = acc[:N, 0:2]
+        d_conics = acc[:N, 2:5]
+        d_colors = acc[:N, 5:5 + C]
+        d_opac = acc[:N, OP_COL]
     return None, None, d_means2d, (d_conics, d_colors), d_opac
 
 
@@ -366,7 +379,8 @@ def _bwd_rule_dispatch(W, H, n_channels, cap, interpret, group, bwd_accum,
 
 def _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
     (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
-     conics, colors, opacities, rows, pairs, fwd_out) = res
+     conics, colors, opacities, rows, pairs, fwd_out, inv_rank) = res
+    assert inv_rank is None, "rank-mode binning requires bwd_accum=True"
     T = starts.shape[0]
     C = n_channels
     N = means2d.shape[0]
@@ -464,7 +478,9 @@ def blend_image_resident(
     tiles_y = (H + TILE - 1) // TILE
 
     out = blend_pairs_pallas(
-        pa.sorted_gauss, (pa.starts, pa.counts, pa.sorted_tile, pa.sorted_origpos),
+        pa.sorted_gauss,
+        (pa.starts, pa.counts, pa.sorted_tile, pa.sorted_origpos,
+         pa.depth_order, pa.inv_rank),
         means2d, (conics, colors_aug), opacities, W, H, C, cap, interpret, group,
         bwd_accum, mm_bf16,
     )

@@ -83,6 +83,10 @@ class RasterizerConfig(NamedTuple):
     # [0,1] and the gradient rounding (~2^-8 relative) is far below SDS
     # noise; parity tests keep the exact f32 default.
     bf16_matmuls: bool = False
+    # pair binning variant for the resident backend: "pairs" = 2-operand
+    # quantized-depth sort; "rank" = SINGLE-operand sort keyed by depth rank
+    # (the rank doubles as the row-table index; needs bwd_accum)
+    binning: str = "pairs"
 
 
 def rasterize(
@@ -151,17 +155,27 @@ def _rasterize_projected(
     background: jnp.ndarray,
 ) -> RasterizeOutput:
     if cfg.backend == "pallas_resident":
-        from .binning import bin_gaussians_pairs
+        from .binning import bin_gaussians_pairs, bin_gaussians_ranks
         from .pallas_resident import blend_image_resident
 
-        pa = bin_gaussians_pairs(
-            jax.lax.stop_gradient(proj.means2d), proj.radii,
-            jax.lax.stop_gradient(proj.depths), proj.mask,
-            cfg.width, cfg.height, cfg.max_tiles_per_gaussian,
-            need_origpos=not cfg.bwd_accum,
-            conics=jax.lax.stop_gradient(proj.conics),
-            opacities=jax.lax.stop_gradient(opacities),
-        )
+        if cfg.binning == "rank":
+            assert cfg.bwd_accum, "rank binning requires bwd_accum"
+            pa = bin_gaussians_ranks(
+                jax.lax.stop_gradient(proj.means2d), proj.radii,
+                jax.lax.stop_gradient(proj.depths), proj.mask,
+                cfg.width, cfg.height, cfg.max_tiles_per_gaussian,
+                conics=jax.lax.stop_gradient(proj.conics),
+                opacities=jax.lax.stop_gradient(opacities),
+            )
+        else:
+            pa = bin_gaussians_pairs(
+                jax.lax.stop_gradient(proj.means2d), proj.radii,
+                jax.lax.stop_gradient(proj.depths), proj.mask,
+                cfg.width, cfg.height, cfg.max_tiles_per_gaussian,
+                need_origpos=not cfg.bwd_accum,
+                conics=jax.lax.stop_gradient(proj.conics),
+                opacities=jax.lax.stop_gradient(opacities),
+            )
         rgb, alpha, depth = blend_image_resident(
             pa, proj.means2d, proj.conics,
             colors, opacities, proj.depths, cfg.width, cfg.height, background,

@@ -245,3 +245,41 @@ def test_resident_bf16_matmuls_close_to_f32():
         assert np.isfinite(b).all(), k
         denom = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / denom, a / denom, atol=2e-2, err_msg=k)
+
+
+def test_resident_rank_binning_matches_pairs():
+    """binning="rank" (single-operand depth-rank sort + depth-ordered table)
+    must reproduce the "pairs" path exactly: same forward, same gradients."""
+    scene = make_scene(N=70, seed=7)
+    p, quats, scales, colors, opac, cam = scene
+    t = float(np.tan(FOV / 2))
+    base = dict(width=32, height=32, tan_fovx=t, tan_fovy=t, tile_capacity=256,
+                chunk=32, backend="pallas_resident", interpret=True)
+    cfg_pairs = RasterizerConfig(**base, binning="pairs")
+    cfg_rank = RasterizerConfig(**base, binning="rank")
+    bg = jnp.asarray([0.1, 0.1, 0.1])
+    out_a = render(cfg_pairs, *scene, bg)
+    out_b = render(cfg_rank, *scene, bg)
+    np.testing.assert_allclose(np.asarray(out_b.rgb), np.asarray(out_a.rgb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_b.alpha), np.asarray(out_a.alpha), atol=1e-5)
+
+    target = jnp.full((32, 32, 3), 0.3)
+
+    def loss(cfg, params):
+        out = rasterize(
+            params["p"], jax.nn.sigmoid(params["ol"]), cam, cfg, bg,
+            colors=jax.nn.sigmoid(params["c"]), scales=jnp.exp(params["ls"]),
+            quats=params["q"],
+        )
+        return ((out.rgb - target) ** 2).mean() + 0.1 * out.depth.mean()
+
+    params = {
+        "p": p, "q": quats, "ls": jnp.log(scales),
+        "c": jnp.log(colors / (1 - colors + 1e-6)), "ol": jnp.full((70,), 0.5),
+    }
+    ga = jax.grad(lambda pr: loss(cfg_pairs, pr))(params)
+    gb = jax.grad(lambda pr: loss(cfg_rank, pr))(params)
+    for k in params:
+        a, b = np.asarray(ga[k]), np.asarray(gb[k])
+        denom = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / denom, a / denom, atol=1e-4, err_msg=k)
