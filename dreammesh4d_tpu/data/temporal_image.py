@@ -110,14 +110,23 @@ class TemporalImageDataModule:
         return len(self.load_frames()[0])
 
     def _ref_camera(self, n: int, height=None, width=None):
+        # the reference camera is FIXED — cache per view count (the per-view
+        # transform build costs n device dispatches, paid per step otherwise)
+        key = (n, height, width)
+        cached = getattr(self, "_ref_camera_cache", {})
+        if key in cached:
+            return cached[key]
         cfg = self.cfg
         fovy = math.radians(cfg.default_fovy_deg)
         c2w = cam_ops.make_c2w_numpy(
             cfg.default_elevation_deg, cfg.default_azimuth_deg, cfg.default_camera_distance
         )[None].repeat(n, 0)
-        return camera_batch_from_c2w(
+        cam = camera_batch_from_c2w(
             c2w, np.full(n, fovy), np.full(n, fovy), cfg.znear, cfg.zfar
         )
+        cached[key] = cam
+        self._ref_camera_cache = cached
+        return cam
 
     # ---------------- batches ----------------
     def train_batch(self, step: int = 0) -> dict:

@@ -20,8 +20,10 @@ from __future__ import annotations
 import bisect
 import math
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,6 +78,43 @@ def camera_batch_from_c2w(c2w: np.ndarray, fovx: np.ndarray, fovy: np.ndarray,
         fp.append(info.full_proj_transform)
         cc.append(info.camera_center)
     return CameraBatch(jnp.stack(wv), jnp.stack(fp), jnp.stack(cc))
+
+
+
+
+@partial(jax.jit, static_argnames=("H", "W", "znear", "zfar", "normalize"))
+def assemble_camera_batch(positions, center, up, fovy,
+                          H: int, W: int, znear: float, zfar: float,
+                          normalize: bool):
+    """ONE jitted program building everything device-side from the sampled
+    camera scalars: GS camera transforms (vmapped get_cam_info_gaussian),
+    per-view pixel-center ray directions from the per-view focal, and world
+    rays.  The per-camera Python loops this replaces issued ~10 tiny device
+    dispatches per view — under a tunneled TPU each dispatch is a network
+    roundtrip, making host batch assembly slower than the train step."""
+    c2w = cam_ops.look_at_c2w(positions, center, up)  # (B,4,4)
+    info = jax.vmap(
+        lambda m, f: cam_ops.get_cam_info_gaussian(m, f, f, znear, zfar)
+    )(c2w, fovy)
+    cam_batch = CameraBatch(info.world_view_transform, info.full_proj_transform,
+                            info.camera_center)
+    focal = 0.5 * H / jnp.tan(0.5 * fovy)  # (B,)
+    i, j = jnp.meshgrid(
+        jnp.arange(W, dtype=jnp.float32) + 0.5,
+        jnp.arange(H, dtype=jnp.float32) + 0.5,
+        indexing="xy",
+    )
+    f = focal[:, None, None]
+    dirs = jnp.stack(
+        [
+            jnp.broadcast_to(i[None], (fovy.shape[0], H, W)) / f - (W / 2.0) / f,
+            -(jnp.broadcast_to(j[None], (fovy.shape[0], H, W)) / f - (H / 2.0) / f),
+            -jnp.ones((fovy.shape[0], H, W), jnp.float32),
+        ],
+        -1,
+    )  # (B,H,W,3) == get_ray_directions(H, W, focal_b) per view
+    rays_o, rays_d = cam_ops.get_rays(dirs, c2w, keepdim=True, normalize=normalize)
+    return cam_batch, c2w, rays_o, rays_d
 
 
 @ds.register("random-camera-datamodule")
@@ -166,8 +205,6 @@ class RandomCameraSampler:
         up = np.asarray([[0, 0, 1.0]], np.float32).repeat(B, 0) + rng.randn(B, 3).astype(np.float32) * cfg.up_perturb
         positions = positions + (rng.rand(B, 3).astype(np.float32) * 2 - 1) * cfg.camera_perturb
 
-        c2w = np.asarray(cam_ops.look_at_c2w(jnp.asarray(positions), jnp.asarray(center), jnp.asarray(up)))
-
         # light sampling, dreamfusion strategy (uncond.py:251-296)
         light_distances = (
             rng.rand(B) * (cfg.light_distance_range[1] - cfg.light_distance_range[0])
@@ -178,23 +215,15 @@ class RandomCameraSampler:
         light_direction = light_direction / np.linalg.norm(light_direction, axis=-1, keepdims=True)
         light_positions = (light_direction * light_distances[:, None]).astype(np.float32)
 
-        cam_batch = camera_batch_from_c2w(c2w, fovy, fovy, cfg.znear, cfg.zfar)
-
-        directions = [
-            np.asarray(
-                cam_ops.get_ray_directions(self.height, self.width,
-                                           0.5 * self.height / math.tan(0.5 * f))
-            )
-            for f in fovy
-        ]
-        rays_o, rays_d = cam_ops.get_rays(
-            jnp.asarray(np.stack(directions)), jnp.asarray(c2w), keepdim=True,
-            normalize=cfg.rays_d_normalize,
+        cam_batch, c2w, rays_o, rays_d = assemble_camera_batch(
+            jnp.asarray(positions), jnp.asarray(center), jnp.asarray(up),
+            jnp.asarray(fovy, jnp.float32), self.height, self.width,
+            cfg.znear, cfg.zfar, cfg.rays_d_normalize,
         )
 
         return {
             "rand_cameras": cam_batch,
-            "c2w": jnp.asarray(c2w),
+            "c2w": c2w,
             "rays_o": rays_o,
             "rays_d": rays_d,
             "elevation": jnp.asarray(elevation_deg, jnp.float32),
