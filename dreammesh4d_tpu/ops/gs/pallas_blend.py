@@ -158,7 +158,7 @@ def _dot(a, b, dims, bf16: bool):
                                preferred_element_type=jnp.float32)
 
 
-def _exclusive_transmittance(alpha, trans):
+def _exclusive_transmittance(alpha, trans, tri=None):
     """Per-gaussian exclusive transmittance within the group.
     alpha: (GROUP, P); trans: (1, P) carry.  Returns (T_excl (GROUP,P),
     t_out (1,P)).
@@ -166,9 +166,14 @@ def _exclusive_transmittance(alpha, trans):
     Computed in log space: T_excl = trans · exp(Lstrict @ log1p(−α)) where
     Lstrict is the strictly-lower-triangular ones matrix — the sequential
     product becomes one (GROUP,GROUP)x(GROUP,P) MXU matmul.  α ≤ 0.99 keeps
-    log1p well-conditioned."""
+    log1p well-conditioned.  ``tri`` lets callers hoist the mask out of
+    the group loop.  The group-exit carry t_out MUST stay an exact-f32 sum:
+    deriving it from the bf16 csum's last row compounds 2⁻⁸ rounding into
+    the carry multiplicatively across groups (measured: gradient parity vs
+    XLA breaks)."""
+    G = alpha.shape[0]
     l = jnp.log1p(-alpha)  # (G, P), <= 0
-    csum = _matmul_bf16(_tri_strict(alpha.shape[0]), l)
+    csum = _matmul_bf16(tri if tri is not None else _tri_strict(G), l)
     t_excl = trans * jnp.exp(csum)
     t_out = trans * jnp.exp(jnp.sum(l, axis=0, keepdims=True))
     return t_excl, t_out
@@ -176,6 +181,7 @@ def _exclusive_transmittance(alpha, trans):
 
 def _fwd_kernel(n_channels: int, group: int, mm_bf16: bool, counts_ref, tiles_x_ref, data_ref, out_ref):
     px, py = _pixel_grid(tiles_x_ref)
+    tri_s = _tri_strict(group)
     t = pl.program_id(0)
     count = counts_ref[t]
     n_groups = pl.cdiv(count, group)
@@ -186,7 +192,7 @@ def _fwd_kernel(n_channels: int, group: int, mm_bf16: bool, counts_ref, tiles_x_
         g0 = g * group
         rows = data_ref[0, pl.ds(g0, group), :]  # (group, ROW)
         alpha, _, _, _, _, _ = _group_geometry(rows, px, py, g0, count)
-        t_excl, t_out = _exclusive_transmittance(alpha, trans)
+        t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl  # (GROUP, P)
         cols = rows[:, 5:5 + C]  # (GROUP, C)
         acc = acc + _dot(cols, w, ((0,), (0,)), mm_bf16)  # (C, P)
@@ -208,6 +214,8 @@ def _bwd_kernel(n_channels: int, group: int, mm_bf16: bool, counts_ref, tiles_x_
     """Front-to-back replay.  cot rows: (C+1, P) = [g_colors, g_T] where g_T
     already folds the background and alpha cotangents (plain-JAX wrapper)."""
     px, py = _pixel_grid(tiles_x_ref)
+    tri_s = _tri_strict(group)
+    tri_i = _tri_incl(group)
     t = pl.program_id(0)
     count = counts_ref[t]
     n_groups = pl.cdiv(count, group)
@@ -227,7 +235,7 @@ def _bwd_kernel(n_channels: int, group: int, mm_bf16: bool, counts_ref, tiles_x_
         g0 = g * group
         rows = data_ref[0, pl.ds(g0, group), :]
         alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
-        t_excl, t_out = _exclusive_transmittance(alpha, trans)
+        t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl  # (GROUP, P)
         cols = rows[:, 5:5 + C]  # (GROUP, C)
 
@@ -236,7 +244,7 @@ def _bwd_kernel(n_channels: int, group: int, mm_bf16: bool, counts_ref, tiles_x_
         # inclusive prefix of g·(w_k c_k) within the group — triangular MXU
         # matmul (Mosaic has no cumsum lowering)
         contrib = gdotc * w  # (GROUP, P)
-        prefix = gdot_cpre + _matmul_bf16(_tri_incl(group), contrib)
+        prefix = gdot_cpre + _matmul_bf16(tri_i, contrib)
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         d_alpha = (
             t_excl * gdotc

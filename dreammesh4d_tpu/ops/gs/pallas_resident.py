@@ -44,6 +44,7 @@ from .pallas_blend import (
     _pack_rows,
     _pixel_grid,
     _tri_incl,
+    _tri_strict,
 )
 
 VMEM_TABLE_BUDGET = 12 * 1024 * 1024  # bytes for the resident row table
@@ -75,6 +76,7 @@ def _fwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
                 counts_ref, starts_ref, tiles_x_ref,
                 table_ref, pairs_hbm, out_ref, idx_smem, sem):
     px, py = _pixel_grid(tiles_x_ref)
+    tri_s = _tri_strict(group)
     t = pl.program_id(0)
     count = jnp.minimum(counts_ref[t], cap)
     start = starts_ref[t]
@@ -96,7 +98,7 @@ def _fwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
         g0 = g * group
         rows = _read_group_rows(table_ref, idx_smem, base, g0, group)
         alpha, _, _, _, _, _ = _group_geometry(rows, px, py, g0, count)
-        t_excl, t_out = _exclusive_transmittance(alpha, trans)
+        t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl
         cols = rows[:, 5:5 + C]
         acc = acc + _dot(cols, w, ((0,), (0,)), mm_bf16)
@@ -118,6 +120,8 @@ def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
                 table_ref, pairs_hbm, fwd_out_ref, cot_ref,
                 grads_ref, idx_smem, sem):
     px, py = _pixel_grid(tiles_x_ref)
+    tri_s = _tri_strict(group)
+    tri_i = _tri_incl(group)
     t = pl.program_id(0)
     count = jnp.minimum(counts_ref[t], cap)
     start = starts_ref[t]
@@ -144,13 +148,13 @@ def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
         g0 = g * group
         rows = _read_group_rows(table_ref, idx_smem, base, g0, group)
         alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
-        t_excl, t_out = _exclusive_transmittance(alpha, trans)
+        t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl
         cols = rows[:, 5:5 + C]
 
         gdotc = _dot(cols, g_col, ((1,), (0,)), mm_bf16)
         contrib = gdotc * w
-        prefix = gdot_cpre + _matmul_bf16(_tri_incl(group), contrib)
+        prefix = gdot_cpre + _matmul_bf16(tri_i, contrib)
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         d_alpha = (
             t_excl * gdotc - (c_total_dot_g - prefix) / one_m - g_T * t_final / one_m
@@ -193,6 +197,8 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
     fwd+bwd profile) at the cost of ``group`` indexed row updates per group,
     symmetric to the indexed row reads the kernel already does."""
     px, py = _pixel_grid(tiles_x_ref)
+    tri_s = _tri_strict(group)
+    tri_i = _tri_incl(group)
     t = pl.program_id(0)
     count = jnp.minimum(counts_ref[t], cap)
     start = starts_ref[t]
@@ -223,13 +229,13 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
         g0 = g * group
         rows = _read_group_rows(table_ref, idx_smem, base, g0, group)
         alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
-        t_excl, t_out = _exclusive_transmittance(alpha, trans)
+        t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl
         cols = rows[:, 5:5 + C]
 
         gdotc = _dot(cols, g_col, ((1,), (0,)), mm_bf16)
         contrib = gdotc * w
-        prefix = gdot_cpre + _matmul_bf16(_tri_incl(group), contrib)
+        prefix = gdot_cpre + _matmul_bf16(tri_i, contrib)
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         d_alpha = (
             t_excl * gdotc - (c_total_dot_g - prefix) / one_m - g_T * t_final / one_m
