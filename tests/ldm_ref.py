@@ -15,7 +15,13 @@ def import_ldm():
     if not os.path.isdir(REFERENCE):
         return None
     if "torchvision" not in sys.modules:
-        sys.modules["torchvision"] = types.ModuleType("torchvision")
+        import importlib.machinery
+
+        tv = types.ModuleType("torchvision")
+        # a stub with __spec__ = None breaks transformers' later
+        # find_spec("torchvision") probe (ValueError) — give it a real spec
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+        sys.modules["torchvision"] = tv
     if "omegaconf" not in sys.modules:
         oc = types.ModuleType("omegaconf")
         lc = types.ModuleType("omegaconf.listconfig")
