@@ -180,7 +180,10 @@ class StableDiffusionPromptProcessor:
         import os
 
         cfg = self.cfg
-        if cfg.use_cache and os.path.exists(self._cache_path(text)):
+        # the cache file is the hand-off from prepare_text_embeddings even
+        # when use_cache=False (which only disables the skip-recompute
+        # filter, reference base.py:360-372) — always read it if present
+        if os.path.exists(self._cache_path(text)):
             return np.load(self._cache_path(text))
         if cfg.embeddings_path:
             data = np.load(cfg.embeddings_path)

@@ -101,6 +101,37 @@ def _tile_cull(tile_x, tile_y, mx, my, conics, opacities):
 
 
 
+def _expand_pairs_mn(means2d, radii, mask, tiles_x, tiles_y, M,
+                     conics=None, opacities=None):
+    """Shared (M, N)-layout pair expansion for the pair/rank binning paths:
+    AABB tile clip, span/validity, exact per-tile culling, sentinel tile T.
+    The (M, N) layout keeps N on the TPU lane axis (full vector width).
+    Returns (tile_ids (M,N) int32 with T for invalid, pair_valid (M,N))."""
+    T = tiles_x * tiles_y
+    r = radii.astype(jnp.float32)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    span_w = jnp.maximum(x1 - x0, 0)
+    span_h = jnp.maximum(y1 - y0, 0)
+    n_span = span_w * span_h
+    alive = mask & (radii > 0) & (n_span > 0)
+
+    m = jnp.arange(M, dtype=jnp.int32)[:, None]  # (M, 1)
+    sw = jnp.maximum(span_w, 1)[None, :]  # (1, N)
+    dx = m % sw
+    dy = m // sw
+    pair_valid = alive[None, :] & (m < n_span[None, :])
+    if conics is not None and opacities is not None:
+        culled = _tile_cull(x0[None, :] + dx, y0[None, :] + dy,
+                            means2d[:, 0][None, :], means2d[:, 1][None, :],
+                            conics, opacities)
+        pair_valid = pair_valid & ~culled
+    tile_ids = jnp.where(pair_valid, (y0[None, :] + dy) * tiles_x + (x0[None, :] + dx), T)
+    return tile_ids, pair_valid
+
+
 def bin_gaussians(
     means2d: jnp.ndarray,
     radii: jnp.ndarray,
@@ -211,36 +242,15 @@ def bin_gaussians_pairs(
     if tile_bits + depth_bits > 31:
         raise ValueError(f"{T} tiles x {depth_bits} depth bits overflow int32")
 
-    r = radii.astype(jnp.float32)
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
-    span_w = jnp.maximum(x1 - x0, 0)
-    span_h = jnp.maximum(y1 - y0, 0)
-    n_span = span_w * span_h
-    alive = mask & (radii > 0) & (n_span > 0)
-
+    alive = mask & (radii > 0)
     d_lo = jnp.min(jnp.where(alive, depths, jnp.inf))
     d_hi = jnp.max(jnp.where(alive, depths, -jnp.inf))
     scale = ((1 << depth_bits) - 1) / jnp.maximum(d_hi - d_lo, 1e-6)
     qdepth = jnp.clip(((depths - d_lo) * scale), 0, (1 << depth_bits) - 1).astype(jnp.int32)
 
-    # (M, N) layout: N rides the TPU lane axis so every elementwise op runs
-    # at full vector width (the (N, M≈9) layout idles 119/128 lanes —
-    # profiled ~2.5 ms of binning glue on the 100k bench).  The sort is
-    # order-agnostic over the flattened array.
-    m = jnp.arange(M, dtype=jnp.int32)[:, None]  # (M, 1)
-    sw = jnp.maximum(span_w, 1)[None, :]  # (1, N)
-    dx = m % sw
-    dy = m // sw
-    pair_valid = alive[None, :] & (m < n_span[None, :])
-    if conics is not None and opacities is not None:
-        culled = _tile_cull(x0[None, :] + dx, y0[None, :] + dy,
-                            means2d[:, 0][None, :], means2d[:, 1][None, :],
-                            conics, opacities)
-        pair_valid = pair_valid & ~culled
-    tile_ids = jnp.where(pair_valid, (y0[None, :] + dy) * tiles_x + (x0[None, :] + dx), T)
+    tile_ids, pair_valid = _expand_pairs_mn(
+        means2d, radii, mask, tiles_x, tiles_y, M, conics, opacities
+    )
     keys = ((tile_ids << depth_bits) | qdepth[None, :]).reshape(-1)
     gauss = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (M, N)).reshape(-1)
     if need_origpos:
@@ -308,29 +318,12 @@ def bin_gaussians_ranks(
 
     # per-pair tiles computed in RANK space: permute the projection outputs
     # once ((N, c) row gathers, the fast class)
-    mx = means2d[depth_order]
-    r = radii[depth_order].astype(jnp.float32)
-    alive_in = mask[depth_order] & (radii[depth_order] > 0)
-    x0 = jnp.clip(jnp.floor((mx[:, 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((mx[:, 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((mx[:, 0] + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((mx[:, 1] + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
-    span_w = jnp.maximum(x1 - x0, 0)
-    span_h = jnp.maximum(y1 - y0, 0)
-    n_span = span_w * span_h
-    alive = alive_in & (n_span > 0)
-
-    m = jnp.arange(M, dtype=jnp.int32)[:, None]  # (M, 1); N rides the lanes
-    sw = jnp.maximum(span_w, 1)[None, :]
-    dx = m % sw
-    dy = m // sw
-    pair_valid = alive[None, :] & (m < n_span[None, :])
-    if conics is not None and opacities is not None:
-        culled = _tile_cull(x0[None, :] + dx, y0[None, :] + dy,
-                            mx[:, 0][None, :], mx[:, 1][None, :],
-                            conics[depth_order], opacities[depth_order])
-        pair_valid = pair_valid & ~culled
-    tile_ids = jnp.where(pair_valid, (y0[None, :] + dy) * tiles_x + (x0[None, :] + dx), T)
+    tile_ids, pair_valid = _expand_pairs_mn(
+        means2d[depth_order], radii[depth_order], mask[depth_order],
+        tiles_x, tiles_y, M,
+        None if conics is None else conics[depth_order],
+        None if opacities is None else opacities[depth_order],
+    )
     rank = jnp.broadcast_to(iota_n[None, :], (M, N))
     # sentinel pairs carry rank N -> the zero row of the padded table
     rank = jnp.where(pair_valid, rank, N)

@@ -271,7 +271,9 @@ def blend_pairs_pallas(
     W: int, H: int, n_channels: int, cap: int, interpret: bool,
     group: int = GROUP, bwd_accum: bool = True, mm_bf16: bool = False,
 ):
-    """starts_counts = (starts, counts, sorted_tile, sorted_origpos)."""
+    """starts_counts = (starts, counts, sorted_tile, sorted_origpos, perm,
+    inv_rank) — the last two are the rank-mode depth permutation and its
+    inverse (None in pairs mode)."""
     out, _ = _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors,
                        opacities, W, H, n_channels, cap, interpret, group,
                        mm_bf16)

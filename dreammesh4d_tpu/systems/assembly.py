@@ -88,6 +88,7 @@ def build_raster_config(height, width, fovy_deg: float,
         backend=str(r.get("backend", "pallas_resident")),
         interpret=bool(r.get("interpret", False)),
         bf16_matmuls=bool(r.get("bf16_matmuls", False)),
+        binning=str(r.get("binning", "pairs")),
     )
 
 
@@ -604,20 +605,27 @@ class Sugar4DGenExperiment:
         if (self.guidance_eval_every > 0 and self._gstate is not None
                 and (step + 1) % self.guidance_eval_every == 0):
             self.rng, k_ge = jax.random.split(self.rng)
+            # only render the views the snapshot consumes
+            V = 2
+            cams = batch["rand_cameras"]
+            cams2 = type(cams)(*(x[:V] for x in cams))
             out = self._render_eval(
-                self.state.deform_params, batch["rand_cameras"], batch["timestamps"]
+                self.state.deform_params, cams2, batch["timestamps"][:V],
+                batch["frame_indices"][:V],
             )
             _guidance_eval_snapshot(
                 self.saver, self._guidance, self._gstate, k_ge, out["comp_rgb"],
-                batch["elevation"], batch["azimuth"], batch["camera_distances"],
-                step + 1, frame_indices=batch["frame_indices"],
+                batch["elevation"][:V], batch["azimuth"][:V],
+                batch["camera_distances"][:V],
+                step + 1, frame_indices=batch["frame_indices"][:V],
             )
         return metrics
 
     def validate(self, step: int, test: bool = False) -> None:
         for batch in self.data.eval_batches():
             out = self._render_eval(
-                self.state.deform_params, batch["cameras"], batch["timestamps"]
+                self.state.deform_params, batch["cameras"], batch["timestamps"],
+                batch.get("frame_indices"),
             )
             frames = [np.asarray(out["comp_rgb"][i]) for i in range(len(batch["timestamps"]))]
             self.saver.save_img_sequence(
@@ -640,7 +648,8 @@ class Sugar4DGenExperiment:
         ts = jnp.asarray(frame_timestamps(L))
         deform_cfg = self.dyn_cfg.deformation
         gs, vert = timed_all(self.sugar_params, self.state.deform_params,
-                             deform_cfg, self.static, ts)
+                             deform_cfg, self.static, ts,
+                             frame_indices=jnp.arange(L, dtype=jnp.int32))
         faces = np.asarray(self.static.sugar.faces)
 
         # bake: render timed gaussians (t=first frame) from the predict orbit

@@ -138,8 +138,9 @@ def make_dynamic_train_step(
     rand_normals = not _static_zero(losses.lambda_normal_tv)
 
     def _timed_render(deform_params, cameras, timestamps, bg, cfg=None,
-                      with_normals=True):
-        gs, vert = timed_all(sugar_params, deform_params, deform_cfg, static, timestamps)
+                      with_normals=True, frame_indices=None):
+        gs, vert = timed_all(sugar_params, deform_params, deform_cfg, static,
+                             timestamps, frame_indices=frame_indices)
         if with_normals:
             fnorm = face_normals(vert.xyz, sg.faces)  # (T, F, 3)
             gs_normals = jnp.repeat(fnorm, G, axis=-2)
@@ -173,9 +174,14 @@ def make_dynamic_train_step(
         ts = batch["timestamps"]
 
         # --- zero123 substep (random cameras) --------------------------------
+        # discrete mode indexes its per-frame tables by the TRUE video frame
+        # (timestamps are (i+1)/(L+1), so the nearest-frame fallback would
+        # alias neighbouring frames onto one table row)
+        fi = batch.get("frame_indices")
         rand_out, _, _ = _timed_render(deform_params, batch["rand_cameras"], ts,
                                        train_bg, rand_cfg,
-                                       with_normals=rand_normals)
+                                       with_normals=rand_normals,
+                                       frame_indices=fi)
         if guidance_fn is not None:
             terms["sds_zero123"] = guidance_fn(gstate, rng_guid,
                                                rand_out["comp_rgb"],
@@ -192,7 +198,8 @@ def make_dynamic_train_step(
         # timed_all subgraphs — an explicit merged 2T-view batch measured
         # SLOWER, 104 -> 123 ms: bigger live intermediates, worse fusion)
         ref_out, _, vert = _timed_render(deform_params, batch["ref_cameras"], ts,
-                                         bg_base, ref_cfg, with_normals=False)
+                                         bg_base, ref_cfg, with_normals=False,
+                                         frame_indices=fi)
         if video_frames is not None:
             gt_mask = video_frames[1][batch["frame_indices"]]
             gt_rgb = video_frames[0][batch["frame_indices"]] * gt_mask
@@ -286,8 +293,10 @@ def make_dynamic_render_eval(
     bg = jnp.asarray(bg_color, jnp.float32)
 
     @tpu_jit
-    def render_eval(deform_params, cameras: CameraBatch, timestamps):
-        gs, vert = timed_all(sugar_params, deform_params, deform_cfg, static, timestamps)
+    def render_eval(deform_params, cameras: CameraBatch, timestamps,
+                    frame_indices=None):
+        gs, vert = timed_all(sugar_params, deform_params, deform_cfg, static,
+                             timestamps, frame_indices=frame_indices)
         fnorm = face_normals(vert.xyz, sg.faces)
         gs_normals = jnp.repeat(fnorm, G, axis=-2)
         return render_batch(

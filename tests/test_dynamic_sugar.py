@@ -273,6 +273,25 @@ def test_discrete_no_graph_translation():
     assert float(jnp.abs(g["trans"]).sum()) > 0
 
 
+def test_discrete_true_frame_indices_not_aliased():
+    """With the temporal datamodule's timestamp convention (i+1)/(L+1),
+    nearest-frame rounding ALIASES neighbouring frames onto one table row —
+    explicit frame_indices (threaded by the train step) must hit the true
+    per-frame rows instead."""
+    from dreammesh4d_tpu.data.temporal_image import frame_timestamps
+
+    params, static, cfg, dparams = _setup_mode("discrete", True, num_frames=8)
+    ts_all = jnp.asarray(frame_timestamps(8))
+    t_vec = jnp.asarray([0.1, 0.0, 0.0])
+    dparams["trans"] = dparams["trans"].at[1].set(t_vec)  # only frame 1 moves
+    fi = jnp.arange(8, dtype=jnp.int32)
+    _, vert = timed_all(params, dparams, cfg.deformation, static, ts_all,
+                        frame_indices=fi)
+    moved = np.abs(np.asarray(vert.xyz) - np.asarray(params.points)).max(axis=(1, 2))
+    assert moved[1] > 0.05, moved
+    assert (moved[[0, 2, 3, 4, 5, 6, 7]] < 1e-5).all(), moved
+
+
 def test_gradients_flow_through_time_chain():
     params, static, cfg, dparams = _setup_dynamic("hybrid")
     ts = jnp.asarray([0.25, 0.75])
