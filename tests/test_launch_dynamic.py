@@ -133,6 +133,16 @@ def test_dynamic_stage_discrete_mode(assets, tmp_path):
     assert rows and float(rows[-1]["loss_total"]) == float(rows[-1]["loss_total"])
     assert "loss_plane_tv" not in rows[-1]  # no plane grids in discrete mode
 
+    # serving surface: load the trial, render novel (view, time) frames
+    from dreammesh4d_tpu.serving import Viewer4D
+
+    viewer = Viewer4D.from_trial(trial, height=32, width=32)
+    img = viewer.render(elevation_deg=10, azimuth_deg=45, distance=3.5, t=0.3)
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+    assert img.min() < 0.9  # the object renders (not all background)
+    frames = viewer.play(azimuth_deg=0, n_frames=4)
+    assert len(frames) == 4 and all(f.shape == (32, 32, 3) for f in frames)
+
 
 def test_dynamic_stage_with_sds_guidance(assets, tmp_path):
     """Launch-surface run with the SDS term ACTIVE: a tiny Stable-Zero123
