@@ -44,7 +44,8 @@ def main():
     cam = get_cam_info_gaussian(look_at_c2w(pos), FOV, FOV, 0.01, 100.0)
     t = float(np.tan(FOV / 2))
     cfg = RasterizerConfig(W, H, t, t, tile_capacity=1024, chunk=32,
-                           max_tiles_per_gaussian=9, backend="pallas_resident")
+                           max_tiles_per_gaussian=9, backend="pallas_resident",
+                           bf16_matmuls=True)
 
     def loss_fn(params):
         out = rasterize(
