@@ -67,9 +67,43 @@ def dma_window(cap: int) -> int:
     return ((cap + ALIGN + ALIGN - 1) // ALIGN) * ALIGN
 
 
-def _read_group_rows(table_ref, idx_smem, base, g0, group):
-    rows = [table_ref[idx_smem[base + g0 + j], :] for j in range(group)]
+def _read_group_rows(table_ref, idx_smem, slot, base, g0, group):
+    rows = [table_ref[idx_smem[slot, base + g0 + j], :] for j in range(group)]
     return jnp.stack(rows, 0)  # (group, ROW)
+
+
+def _seg_dma(pairs_hbm, starts_ref, idx_smem, sem, cap, t):
+    """Async-copy descriptor for tile ``t``'s (aligned) pair-index window into
+    double-buffer slot ``t % 2``.  The TPU grid is sequential on one core, so
+    a copy STARTED at grid step t-1 into the other slot is WAITED at step t —
+    the 8 KB HBM→SMEM segment fetch rides under the previous tile's compute
+    instead of serializing with it (start();wait() at the top of every tile
+    measured as a per-tile stall)."""
+    start = starts_ref[t]
+    start_al = (start // ALIGN) * ALIGN
+    slot = jax.lax.rem(t, 2)
+    return pltpu.make_async_copy(
+        pairs_hbm.at[pl.ds(start_al, dma_window(cap))],
+        idx_smem.at[slot],
+        sem.at[slot],
+    )
+
+
+def _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap):
+    """Warm-up + steady-state prefetch; returns (slot, base) for this tile."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _warmup():
+        _seg_dma(pairs_hbm, starts_ref, idx_smem, sem, cap, 0).start()
+
+    @pl.when(t + 1 < pl.num_programs(0))
+    def _ahead():
+        _seg_dma(pairs_hbm, starts_ref, idx_smem, sem, cap, t + 1).start()
+
+    _seg_dma(pairs_hbm, starts_ref, idx_smem, sem, cap, t).wait()
+    start = starts_ref[t]
+    return jax.lax.rem(t, 2), start - (start // ALIGN) * ALIGN
 
 
 def _fwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
@@ -79,24 +113,18 @@ def _fwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
     tri_s = _tri_strict(group)
     t = pl.program_id(0)
     count = jnp.minimum(counts_ref[t], cap)
-    start = starts_ref[t]
     C = n_channels
 
-    # aligned DMA window (arbitrary starts violate the 1-D VMEM tiling)
-    start_al = (start // ALIGN) * ALIGN
-    base = start - start_al
-    dma = pltpu.make_async_copy(
-        pairs_hbm.at[pl.ds(start_al, dma_window(cap))], idx_smem, sem
-    )
-    dma.start()
-    dma.wait()
+    # aligned DMA window (arbitrary starts violate the 1-D VMEM tiling),
+    # double-buffered across grid steps
+    slot, base = _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap)
 
     n_groups = pl.cdiv(count, group)
 
     def body(carry):
         g, trans, acc = carry
         g0 = g * group
-        rows = _read_group_rows(table_ref, idx_smem, base, g0, group)
+        rows = _read_group_rows(table_ref, idx_smem, slot, base, g0, group)
         alpha, _, _, _, _, _ = _group_geometry(rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl
@@ -124,16 +152,9 @@ def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
     tri_i = _tri_incl(group)
     t = pl.program_id(0)
     count = jnp.minimum(counts_ref[t], cap)
-    start = starts_ref[t]
     C = n_channels
 
-    start_al = (start // ALIGN) * ALIGN
-    base = start - start_al
-    dma = pltpu.make_async_copy(
-        pairs_hbm.at[pl.ds(start_al, dma_window(cap))], idx_smem, sem
-    )
-    dma.start()
-    dma.wait()
+    slot, base = _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap)
 
     c_total_dot_g = jnp.sum(
         fwd_out_ref[0, :C, :] * cot_ref[0, :C, :], axis=0, keepdims=True
@@ -146,7 +167,7 @@ def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
     def body(carry):
         g, trans, gdot_cpre = carry
         g0 = g * group
-        rows = _read_group_rows(table_ref, idx_smem, base, g0, group)
+        rows = _read_group_rows(table_ref, idx_smem, slot, base, g0, group)
         alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl
@@ -201,20 +222,13 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
     tri_i = _tri_incl(group)
     t = pl.program_id(0)
     count = jnp.minimum(counts_ref[t], cap)
-    start = starts_ref[t]
     C = n_channels
 
     @pl.when(t == 0)
     def _init():
         grads_ref[...] = jnp.zeros_like(grads_ref)
 
-    start_al = (start // ALIGN) * ALIGN
-    base = start - start_al
-    dma = pltpu.make_async_copy(
-        pairs_hbm.at[pl.ds(start_al, dma_window(cap))], idx_smem, sem
-    )
-    dma.start()
-    dma.wait()
+    slot, base = _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap)
 
     c_total_dot_g = jnp.sum(
         fwd_out_ref[0, :C, :] * cot_ref[0, :C, :], axis=0, keepdims=True
@@ -227,7 +241,7 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
     def body(carry):
         g, trans, gdot_cpre = carry
         g0 = g * group
-        rows = _read_group_rows(table_ref, idx_smem, base, g0, group)
+        rows = _read_group_rows(table_ref, idx_smem, slot, base, g0, group)
         alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl
@@ -252,7 +266,7 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
             [d_mx, d_my, d_ca, d_cb, d_cc, d_col, pad, d_op, tail], axis=1
         )
         for j in range(group):
-            idx = idx_smem[base + g0 + j]
+            idx = idx_smem[slot, base + g0 + j]
             grads_ref[idx, :] = grads_ref[idx, :] + grad_rows[j, :]
         return g + 1, t_out, prefix[group - 1:group, :]
 
@@ -305,7 +319,7 @@ def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
         ],
         out_specs=pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((dma_window(cap),), jnp.int32), pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[pltpu.SMEM((2, dma_window(cap)), jnp.int32), pltpu.SemaphoreType.DMA((2,))],
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, C, cap, group, mm_bf16),
@@ -349,8 +363,8 @@ def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
         out_specs=pl.BlockSpec((N + 1, ROW), lambda i, *_: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((dma_window(cap),), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2, dma_window(cap)), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     acc = pl.pallas_call(
@@ -408,8 +422,8 @@ def _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
         out_specs=pl.BlockSpec((1, cap, ROW), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((dma_window(cap),), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2, dma_window(cap)), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     tile_grads = pl.pallas_call(
