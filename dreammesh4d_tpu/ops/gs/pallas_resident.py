@@ -67,8 +67,8 @@ def dma_window(cap: int) -> int:
     return ((cap + ALIGN + ALIGN - 1) // ALIGN) * ALIGN
 
 
-def _read_group_rows(table_ref, idx_smem, slot, base, g0, group):
-    rows = [table_ref[idx_smem[slot, base + g0 + j], :] for j in range(group)]
+def _read_group_rows(table_ref, idx_smem, slot_base, g0, group):
+    rows = [table_ref[idx_smem[slot_base + g0 + j], :] for j in range(group)]
     return jnp.stack(rows, 0)  # (group, ROW)
 
 
@@ -78,19 +78,27 @@ def _seg_dma(pairs_hbm, starts_ref, idx_smem, sem, cap, t):
     a copy STARTED at grid step t-1 into the other slot is WAITED at step t —
     the 8 KB HBM→SMEM segment fetch rides under the previous tile's compute
     instead of serializing with it (start();wait() at the top of every tile
-    measured as a per-tile stall)."""
+    measured as a per-tile stall).
+
+    The double buffer is ONE flat (2·window,) SMEM array indexed at dynamic
+    offset slot·window: a (2, window) scratch sliced ``.at[slot]`` stopped
+    lowering when Mosaic gave SMEM int32 a (2, 128) tiling (size-1 slices
+    along the tiled dim 0 are rejected); dynamic-offset 1-D windows have no
+    such constraint."""
     start = starts_ref[t]
     start_al = (start // ALIGN) * ALIGN
+    win = dma_window(cap)
     slot = jax.lax.rem(t, 2)
     return pltpu.make_async_copy(
-        pairs_hbm.at[pl.ds(start_al, dma_window(cap))],
-        idx_smem.at[slot],
+        pairs_hbm.at[pl.ds(start_al, win)],
+        idx_smem.at[pl.ds(slot * win, win)],
         sem.at[slot],
     )
 
 
 def _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap):
-    """Warm-up + steady-state prefetch; returns (slot, base) for this tile."""
+    """Warm-up + steady-state prefetch; returns the flat SMEM offset of this
+    tile's first pair index (slot·window + in-window base)."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -103,7 +111,8 @@ def _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap):
 
     _seg_dma(pairs_hbm, starts_ref, idx_smem, sem, cap, t).wait()
     start = starts_ref[t]
-    return jax.lax.rem(t, 2), start - (start // ALIGN) * ALIGN
+    slot = jax.lax.rem(t, 2)
+    return slot * dma_window(cap) + start - (start // ALIGN) * ALIGN
 
 
 def _fwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
@@ -117,14 +126,14 @@ def _fwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
 
     # aligned DMA window (arbitrary starts violate the 1-D VMEM tiling),
     # double-buffered across grid steps
-    slot, base = _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap)
+    slot_base = _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap)
 
     n_groups = pl.cdiv(count, group)
 
     def body(carry):
         g, trans, acc = carry
         g0 = g * group
-        rows = _read_group_rows(table_ref, idx_smem, slot, base, g0, group)
+        rows = _read_group_rows(table_ref, idx_smem, slot_base, g0, group)
         alpha, _, _, _, _, _ = _group_geometry(rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl
@@ -154,7 +163,7 @@ def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
     count = jnp.minimum(counts_ref[t], cap)
     C = n_channels
 
-    slot, base = _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap)
+    slot_base = _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap)
 
     c_total_dot_g = jnp.sum(
         fwd_out_ref[0, :C, :] * cot_ref[0, :C, :], axis=0, keepdims=True
@@ -167,7 +176,7 @@ def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
     def body(carry):
         g, trans, gdot_cpre = carry
         g0 = g * group
-        rows = _read_group_rows(table_ref, idx_smem, slot, base, g0, group)
+        rows = _read_group_rows(table_ref, idx_smem, slot_base, g0, group)
         alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl
@@ -228,7 +237,7 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
     def _init():
         grads_ref[...] = jnp.zeros_like(grads_ref)
 
-    slot, base = _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap)
+    slot_base = _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap)
 
     c_total_dot_g = jnp.sum(
         fwd_out_ref[0, :C, :] * cot_ref[0, :C, :], axis=0, keepdims=True
@@ -241,7 +250,7 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
     def body(carry):
         g, trans, gdot_cpre = carry
         g0 = g * group
-        rows = _read_group_rows(table_ref, idx_smem, slot, base, g0, group)
+        rows = _read_group_rows(table_ref, idx_smem, slot_base, g0, group)
         alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl
@@ -266,7 +275,7 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
             [d_mx, d_my, d_ca, d_cb, d_cc, d_col, pad, d_op, tail], axis=1
         )
         for j in range(group):
-            idx = idx_smem[slot, base + g0 + j]
+            idx = idx_smem[slot_base + g0 + j]
             grads_ref[idx, :] = grads_ref[idx, :] + grad_rows[j, :]
         return g + 1, t_out, prefix[group - 1:group, :]
 
@@ -319,7 +328,7 @@ def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
         ],
         out_specs=pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((2, dma_window(cap)), jnp.int32), pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.SMEM((2 * dma_window(cap),), jnp.int32), pltpu.SemaphoreType.DMA((2,))],
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, C, cap, group, mm_bf16),
@@ -363,7 +372,7 @@ def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
         out_specs=pl.BlockSpec((N + 1, ROW), lambda i, *_: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((2, dma_window(cap)), jnp.int32),
+            pltpu.SMEM((2 * dma_window(cap),), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -422,7 +431,7 @@ def _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
         out_specs=pl.BlockSpec((1, cap, ROW), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((2, dma_window(cap)), jnp.int32),
+            pltpu.SMEM((2 * dma_window(cap),), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
