@@ -13,9 +13,37 @@ numpy arrays; callers device-put with their chosen sharding.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import re
+from typing import Any, Dict, Tuple
 
 import numpy as np
+
+
+class _TrackedDict(dict):
+    """State dict that records every key the converters consume, so the
+    onboarding CLI can report unmapped weights instead of silently dropping
+    them (scripts/convert_zero123_ckpt.py)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
+# Checkpoint keys that are CORRECT to leave unconverted: DDPM schedule
+# buffers (recomputed by scheduler.make_schedule), EMA shadows, the CLIP
+# text tower (Zero123 is image-conditioned; FrozenCLIPImageEmbedder deletes
+# model.transformer — modules.py:447), and VAE training-loss heads.
+EXPECTED_SKIP = [
+    r"^betas$", r"^alphas_cumprod", r"^sqrt_", r"^log_one_minus_",
+    r"^posterior_", r"^logvar$", r"^model_ema\.",
+    r"^cond_stage_model\.model\.(?!visual\.)",
+    r"^cond_stage_model\.(?!model\.)",
+    r"^first_stage_model\.loss\.",
+]
 
 
 def _t(x):
@@ -195,24 +223,21 @@ def convert_vae(sd: Dict[str, Any], ch_mult=(1, 2, 4, 4), num_res_blocks=2) -> D
     }
 
 
-def load_zero123_checkpoint(path: str, modules) -> Dict[str, Any]:
-    """Load a torch Stable-Zero123 ``.ckpt`` and convert every component the
-    guidance needs (UNet, VAE, cc_projection, CLIP vision tower).
+def convert_state_dict(sd: Dict[str, Any], modules) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Numpy state dict (Stable-Zero123 LDM layout) -> (flax params, report).
 
-    Architecture dims (channel_mult, res blocks) come from ``modules.cfg`` so
-    tiny test checkpoints convert the same way as the shipped 320-ch model."""
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("state_dict", ckpt)
-    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
-
-    unet_sd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
-               if k.startswith("model.diffusion_model.")}
-    vae_sd = {k[len("first_stage_model."):]: v for k, v in sd.items()
-              if k.startswith("first_stage_model.")}
-
+    ``report`` maps key names to their fate: ``consumed`` (converted),
+    ``skipped`` (EXPECTED_SKIP — schedule buffers / EMA / text tower),
+    ``unmapped`` (present in the checkpoint but converted by nothing — a
+    layout mismatch the caller should surface, not swallow)."""
     cfg = modules.cfg
+
+    unet_sd = _TrackedDict({k[len("model.diffusion_model."):]: v
+                            for k, v in sd.items()
+                            if k.startswith("model.diffusion_model.")})
+    vae_sd = _TrackedDict({k[len("first_stage_model."):]: v for k, v in sd.items()
+                           if k.startswith("first_stage_model.")})
+
     params: Dict[str, Any] = {
         "unet": convert_unet(unet_sd, channel_mult=tuple(cfg.channel_mult),
                              num_res_blocks=cfg.num_res_blocks),
@@ -223,15 +248,63 @@ def load_zero123_checkpoint(path: str, modules) -> Dict[str, Any]:
             "bias": _t(sd["cc_projection.bias"]),
         },
     }
+    consumed = {f"model.diffusion_model.{k}" for k in unet_sd.consumed}
+    consumed |= {f"first_stage_model.{k}" for k in vae_sd.consumed}
+    consumed |= {"cc_projection.weight", "cc_projection.bias"}
+
     clip_prefix = "cond_stage_model.model."
-    clip_sd = {k[len(clip_prefix):]: v for k, v in sd.items() if k.startswith(clip_prefix)}
-    if clip_sd and modules.clip is not None:
+    clip_sd = _TrackedDict({k[len(clip_prefix):]: v for k, v in sd.items()
+                            if k.startswith(clip_prefix)})
+    if any(k.startswith("visual.") for k in clip_sd) and modules.clip is not None:
         params["clip"] = convert_clip_vision(clip_sd, modules)
+        consumed |= {f"{clip_prefix}{k}" for k in clip_sd.consumed}
     elif modules.clip is None:
         # test/stub configs (use_clip=False): deterministic mean-color
         # projector so prepare_embeddings stays runnable
         rng = np.random.default_rng(0)
         params["clip_proj"] = rng.normal(0, 0.02, (3, cfg.context_dim)).astype(np.float32)
+
+    skipped, unmapped = [], []
+    skip_re = [re.compile(p) for p in EXPECTED_SKIP]
+    for k in sd:
+        if k in consumed:
+            continue
+        (skipped if any(r.search(k) for r in skip_re) else unmapped).append(k)
+    report = {"consumed": sorted(consumed), "skipped": sorted(skipped),
+              "unmapped": sorted(unmapped)}
+    return params, report
+
+
+def load_zero123_checkpoint(path: str, modules, strict: bool = False) -> Dict[str, Any]:
+    """Load a torch Stable-Zero123 ``.ckpt`` and convert every component the
+    guidance needs (UNet, VAE, cc_projection, CLIP vision tower).
+
+    Architecture dims (channel_mult, res blocks) come from ``modules.cfg`` so
+    tiny test checkpoints convert the same way as the shipped 320-ch model.
+    ``strict=True`` raises with the full key list if any non-schedule weight
+    would be dropped (the onboarding CLI uses this).
+
+    ``path`` may also be a cache directory written by
+    scripts/convert_zero123_ckpt.py — restored via orbax, no torch import."""
+    import os
+
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "manifest.json")):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(os.path.join(path, "params")))
+        return restored
+
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    params, report = convert_state_dict(sd, modules)
+    if strict and report["unmapped"]:
+        raise KeyError(
+            "Checkpoint keys not mapped by the converter (layout mismatch?):\n  "
+            + "\n  ".join(report["unmapped"]))
     return params
 
 
@@ -240,7 +313,8 @@ def convert_clip_vision(sd: Dict[str, Any], modules) -> Dict[str, Any]:
 
     Handles the ``visual.*`` layout (ViT-L/14): class/pos embeddings, 24
     transformer blocks with in_proj qkv fused, final layernorm + projection."""
-    v = {k[len("visual."):]: val for k, val in sd.items() if k.startswith("visual.")}
+    v = _TrackedDict({k[len("visual."):]: val for k, val in sd.items()
+                      if k.startswith("visual.")})
     if not v:
         raise KeyError("No visual.* keys in CLIP state dict")
     width = _t(v["conv1.weight"]).shape[0]
@@ -252,7 +326,7 @@ def convert_clip_vision(sd: Dict[str, Any], modules) -> Dict[str, Any]:
         qkv_b = _t(v[f"{p}.attn.in_proj_bias"])
         qw, kw, vw = np.split(qkv_w, 3, 0)
         qb, kb, vb = np.split(qkv_b, 3, 0)
-        layers[f"layers_{i}"] = {
+        layers[str(i)] = {
             "layer_norm1": {"scale": _t(v[f"{p}.ln_1.weight"]), "bias": _t(v[f"{p}.ln_1.bias"])},
             "self_attn": {
                 "q_proj": {"kernel": qw.T, "bias": qb},
@@ -281,4 +355,7 @@ def convert_clip_vision(sd: Dict[str, Any], modules) -> Dict[str, Any]:
             "post_layernorm": {"scale": _t(v["ln_post.weight"]), "bias": _t(v["ln_post.bias"])},
         }
     }
-    return {"vision": vision, "projection": _t(v["proj"])}
+    out = {"vision": vision, "projection": _t(v["proj"])}
+    if isinstance(sd, _TrackedDict):
+        sd.consumed |= {f"visual.{k}" for k in v.consumed}
+    return out

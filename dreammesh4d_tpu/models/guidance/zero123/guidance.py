@@ -70,6 +70,16 @@ class Zero123Config:
     image_size: int = 256
     dtype: Any = jnp.float32
     use_clip: bool = True  # False -> tiny random projector (tests)
+    # CLIP vision-tower dims (defaults = ViT-L/14, the tower
+    # FrozenCLIPImageEmbedder loads — extern/ldm_zero123/modules/encoders/
+    # modules.py:432); shrink for tests.  The projection is
+    # clip_hidden_size -> context_dim (OpenAI CLIP ``visual.proj``).
+    clip_hidden_size: int = 1024
+    clip_layers: int = 24
+    clip_heads: int = 16
+    clip_intermediate: int = 4096
+    clip_image_size: int = 224
+    clip_patch_size: int = 14
 
 
 class Zero123Modules:
@@ -86,7 +96,22 @@ class Zero123Modules:
             embed_dim=4, ch=cfg.vae_ch, ch_mult=tuple(cfg.vae_ch_mult),
             num_res_blocks=cfg.vae_num_res_blocks, dtype=cfg.dtype,
         )
-        self.clip = CLIPImageEncoder(dtype=cfg.dtype) if cfg.use_clip else None
+        if cfg.use_clip:
+            from transformers import CLIPVisionConfig
+
+            vis_cfg = CLIPVisionConfig(
+                hidden_size=cfg.clip_hidden_size,
+                intermediate_size=cfg.clip_intermediate,
+                num_hidden_layers=cfg.clip_layers,
+                num_attention_heads=cfg.clip_heads,
+                image_size=cfg.clip_image_size,
+                patch_size=cfg.clip_patch_size,
+                projection_dim=cfg.context_dim,
+            )
+            self.clip = CLIPImageEncoder(dtype=cfg.dtype, config=vis_cfg,
+                                         proj_dim=cfg.context_dim)
+        else:
+            self.clip = None
         self.schedule = make_schedule(cfg.num_train_timesteps)
 
     def init_params(self, rng) -> Dict[str, Any]:

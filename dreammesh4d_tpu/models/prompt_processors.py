@@ -2,8 +2,11 @@
 
 Zero123 is image-conditioned — the reference runs a ``dummy-prompt-processor``
 (threestudio/models/prompt_processors, wired in sugar_static_refine.yaml:79-82).
-Text-prompt processors (stable-diffusion / deep-floyd) are part of the
-framework surface and will attach to the flax text encoders when those land.
+The real text-prompt processors (CLIP text encoder, per-(model,prompt) disk
+cache, optional subprocess compute — reference base.py:345-420) live in
+``models/guidance/stable_diffusion.py`` (StableDiffusionPromptProcessor,
+registered as ``stable-diffusion-prompt-processor``); this module only hosts
+the dummy processor used by the image-conditioned stages.
 """
 
 from __future__ import annotations

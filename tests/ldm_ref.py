@@ -43,7 +43,92 @@ def import_ldm():
     return openaimodel, ldm_vae
 
 
-def make_tiny_ldm_checkpoint(path, ldm, context_dim=16, seed=0):
+def make_tiny_clip_visual(width=32, layers=2, heads=4, image_size=16,
+                          patch_size=8, intermediate=64, proj_dim=16, seed=0):
+    """A minimal torch module matching OpenAI CLIP's VisionTransformer in
+    both state-dict layout (``visual.*`` keys: fused attn.in_proj qkv,
+    mlp.c_fc/c_proj, ln_pre/ln_post, proj) and forward semantics
+    (encode_image: class token prepend, pre-LN transformer with QuickGELU,
+    ln_post(x[:, 0]) @ proj) — the tower ``clip.load("ViT-L/14")`` gives
+    FrozenCLIPImageEmbedder (extern/ldm_zero123/modules/encoders/
+    modules.py:432-447).  Used as the conversion oracle for
+    convert_clip_vision."""
+    import torch
+    import torch.nn as nn
+
+    class QuickGELU(nn.Module):
+        def forward(self, x):
+            return x * torch.sigmoid(1.702 * x)
+
+    class ResBlock(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.attn = nn.MultiheadAttention(width, heads)
+            self.ln_1 = nn.LayerNorm(width)
+            self.mlp = nn.Sequential()
+            self.mlp.add_module("c_fc", nn.Linear(width, intermediate))
+            self.mlp.add_module("gelu", QuickGELU())
+            self.mlp.add_module("c_proj", nn.Linear(intermediate, width))
+            self.ln_2 = nn.LayerNorm(width)
+
+        def forward(self, x):
+            y = self.ln_1(x)
+            x = x + self.attn(y, y, y, need_weights=False)[0]
+            return x + self.mlp(self.ln_2(x))
+
+    class Transformer(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.resblocks = nn.Sequential(*[ResBlock() for _ in range(layers)])
+
+        def forward(self, x):
+            return self.resblocks(x)
+
+    class Visual(nn.Module):
+        def __init__(self):
+            super().__init__()
+            scale = width ** -0.5
+            self.conv1 = nn.Conv2d(3, width, kernel_size=patch_size,
+                                   stride=patch_size, bias=False)
+            self.class_embedding = nn.Parameter(scale * torch.randn(width))
+            n_pos = (image_size // patch_size) ** 2 + 1
+            self.positional_embedding = nn.Parameter(scale * torch.randn(n_pos, width))
+            self.ln_pre = nn.LayerNorm(width)
+            self.transformer = Transformer()
+            self.ln_post = nn.LayerNorm(width)
+            self.proj = nn.Parameter(scale * torch.randn(width, proj_dim))
+
+        def forward(self, x):
+            x = self.conv1(x)  # (B, width, g, g)
+            x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+            cls = self.class_embedding.to(x.dtype) + torch.zeros(
+                x.shape[0], 1, x.shape[-1], dtype=x.dtype)
+            x = torch.cat([cls, x], dim=1) + self.positional_embedding.to(x.dtype)
+            x = self.ln_pre(x)
+            x = x.permute(1, 0, 2)  # NLD -> LND (batch_first=False MHA)
+            x = self.transformer(x)
+            x = x.permute(1, 0, 2)
+            return self.ln_post(x[:, 0, :]) @ self.proj
+
+    torch.manual_seed(seed)
+    return Visual().eval()
+
+
+# Zero123Config dims matching make_tiny_clip_visual's defaults (proj_dim must
+# equal context_dim — OpenAI CLIP projects the pooled width to the
+# cross-attention context width)
+TINY_CLIP_OVERRIDES = [
+    "system.guidance.use_clip=true",
+    "system.guidance.clip_hidden_size=32",
+    "system.guidance.clip_layers=2",
+    "system.guidance.clip_heads=4",
+    "system.guidance.clip_intermediate=64",
+    "system.guidance.clip_image_size=16",
+    "system.guidance.clip_patch_size=8",
+]
+
+
+def make_tiny_ldm_checkpoint(path, ldm, context_dim=16, seed=0, clip_visual=None):
     """Write a torch ``.ckpt`` in the Stable-Zero123 state-dict layout
     (model.diffusion_model.* / first_stage_model.* / cc_projection.*) from
     freshly-initialized reference modules.  Returns the torch modules."""
@@ -75,6 +160,12 @@ def make_tiny_ldm_checkpoint(path, ldm, context_dim=16, seed=0):
                         ("cc_projection", cc)):
         for k, v in mod.state_dict().items():
             sd[f"{prefix}.{k}"] = v
+    if clip_visual is not None:
+        # the shipped ckpt stores the CLIP tower under cond_stage_model.model
+        # (FrozenCLIPImageEmbedder's ``self.model`` = the full clip.load()
+        # model; only visual.* survives the text-transformer delete)
+        for k, v in clip_visual.state_dict().items():
+            sd[f"cond_stage_model.model.visual.{k}"] = v
     torch.save({"state_dict": sd}, path)
     return tm, (te, td, tq, tpq), cc
 
