@@ -53,11 +53,11 @@ class PairAssignment(NamedTuple):
     inv_rank: jnp.ndarray = None  # (N,) int32 rank of each gaussian
 
 
-def num_tiles(W: int, H: int) -> tuple[int, int]:
-    return (W + TILE - 1) // TILE, (H + TILE - 1) // TILE
+def num_tiles(W: int, H: int, tile: int = TILE) -> tuple[int, int]:
+    return (W + tile - 1) // tile, (H + tile - 1) // tile
 
 
-def _tile_cull(tile_x, tile_y, mx, my, conics, opacities):
+def _tile_cull(tile_x, tile_y, mx, my, conics, opacities, tile=TILE):
     """EXACT per-pair tile culling: True where the pair provably contributes
     alpha < 1/255 on EVERY pixel of the tile (so the blend kernel's live
     mask would zero it anyway — pruning cannot change the rendered output).
@@ -72,12 +72,12 @@ def _tile_cull(tile_x, tile_y, mx, my, conics, opacities):
     cb = conics[:, 1][None, :]
     cc = conics[:, 2][None, :]
     op = opacities[None, :]
-    X0 = (tile_x * TILE).astype(jnp.float32)
-    Y0 = (tile_y * TILE).astype(jnp.float32)
+    X0 = (tile_x * tile).astype(jnp.float32)
+    Y0 = (tile_y * tile).astype(jnp.float32)
     dx0 = X0 - mx
-    dx1 = X0 + (TILE - 1) - mx
+    dx1 = X0 + (tile - 1) - mx
     dy0 = Y0 - my
-    dy1 = Y0 + (TILE - 1) - my
+    dy1 = Y0 + (tile - 1) - my
     inside = (dx0 <= 0) & (dx1 >= 0) & (dy0 <= 0) & (dy1 >= 0)
 
     sa = jnp.maximum(ca, 1e-12)
@@ -96,23 +96,28 @@ def _tile_cull(tile_x, tile_y, mx, my, conics, opacities):
         jnp.minimum(q_edge_y(dy0), q_edge_y(dy1)),
     )
     min_q = jnp.where(inside, 0.0, min_q)
-    # alpha_max = op·exp(-minQ/2) < 1/255  ⟺  minQ > 2·ln(255·op)
-    return min_q > 2.0 * jnp.log(jnp.maximum(op, 1e-12) * 255.0)
+    # alpha_max = op·exp(-minQ/2) < 1/255  ⟺  minQ > 2·ln(255·op); the blend
+    # live mask ALSO zeroes power < -4.5 (the 3σ cutoff, pallas_blend.py
+    # _group_geometry), so minQ > 9 is equally provably-invisible — the min
+    # of the two bounds is the tighter exact cull (bites when op > e^4.5/255
+    # ≈ 0.353, e.g. the dense-scene regime)
+    return min_q > jnp.minimum(
+        2.0 * jnp.log(jnp.maximum(op, 1e-12) * 255.0), 9.0)
 
 
 
 def _expand_pairs_mn(means2d, radii, mask, tiles_x, tiles_y, M,
-                     conics=None, opacities=None):
+                     conics=None, opacities=None, tile=TILE):
     """Shared (M, N)-layout pair expansion for the pair/rank binning paths:
     AABB tile clip, span/validity, exact per-tile culling, sentinel tile T.
     The (M, N) layout keeps N on the TPU lane axis (full vector width).
     Returns (tile_ids (M,N) int32 with T for invalid, pair_valid (M,N))."""
     T = tiles_x * tiles_y
     r = radii.astype(jnp.float32)
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / tile), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / tile), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r) / tile) + 1, 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r) / tile) + 1, 0, tiles_y).astype(jnp.int32)
     span_w = jnp.maximum(x1 - x0, 0)
     span_h = jnp.maximum(y1 - y0, 0)
     n_span = span_w * span_h
@@ -126,7 +131,7 @@ def _expand_pairs_mn(means2d, radii, mask, tiles_x, tiles_y, M,
     if conics is not None and opacities is not None:
         culled = _tile_cull(x0[None, :] + dx, y0[None, :] + dy,
                             means2d[:, 0][None, :], means2d[:, 1][None, :],
-                            conics, opacities)
+                            conics, opacities, tile=tile)
         pair_valid = pair_valid & ~culled
     tile_ids = jnp.where(pair_valid, (y0[None, :] + dy) * tiles_x + (x0[None, :] + dx), T)
     return tile_ids, pair_valid
@@ -224,6 +229,7 @@ def bin_gaussians_pairs(
     need_origpos: bool = True,
     conics=None,
     opacities=None,
+    tile: int = TILE,
 ) -> PairAssignment:
     """Pair-array binning with QUANTIZED-depth packed keys.
 
@@ -235,7 +241,7 @@ def bin_gaussians_pairs(
     over the visible range) only affects the within-tile ORDER; ties are
     resolved arbitrarily, indistinguishable at float precision."""
     N = means2d.shape[0]
-    tiles_x, tiles_y = num_tiles(W, H)
+    tiles_x, tiles_y = num_tiles(W, H, tile)
     T = tiles_x * tiles_y
     M = max_tiles_per_gaussian
     tile_bits = (T + 1).bit_length()
@@ -249,7 +255,7 @@ def bin_gaussians_pairs(
     qdepth = jnp.clip(((depths - d_lo) * scale), 0, (1 << depth_bits) - 1).astype(jnp.int32)
 
     tile_ids, pair_valid = _expand_pairs_mn(
-        means2d, radii, mask, tiles_x, tiles_y, M, conics, opacities
+        means2d, radii, mask, tiles_x, tiles_y, M, conics, opacities, tile=tile
     )
     keys = ((tile_ids << depth_bits) | qdepth[None, :]).reshape(-1)
     gauss = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (M, N)).reshape(-1)
@@ -291,6 +297,7 @@ def bin_gaussians_ranks(
     max_tiles_per_gaussian: int = 16,
     conics=None,
     opacities=None,
+    tile: int = TILE,
 ) -> PairAssignment:
     """SINGLE-operand pair sort: the within-tile ordering key is the
     gaussian's DEPTH RANK, which doubles as its row index in a depth-ordered
@@ -303,7 +310,7 @@ def bin_gaussians_ranks(
     by ``depth_order`` and un-permute per-gaussian outputs by ``inv_rank``
     (pallas_resident handles both when cfg.binning == "rank")."""
     N = means2d.shape[0]
-    tiles_x, tiles_y = num_tiles(W, H)
+    tiles_x, tiles_y = num_tiles(W, H, tile)
     T = tiles_x * tiles_y
     M = max_tiles_per_gaussian
     rank_bits = N.bit_length()
@@ -323,6 +330,7 @@ def bin_gaussians_ranks(
         tiles_x, tiles_y, M,
         None if conics is None else conics[depth_order],
         None if opacities is None else opacities[depth_order],
+        tile=tile,
     )
     rank = jnp.broadcast_to(iota_n[None, :], (M, N))
     # sentinel pairs carry rank N -> the zero row of the padded table

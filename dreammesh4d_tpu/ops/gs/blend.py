@@ -89,8 +89,14 @@ def blend_tiles(
             - con[:, :, 1:2] * dx * dy
         )
         alpha = jnp.minimum(0.99, op[:, :, None] * jnp.exp(power))
+        # power >= -4.5 = the 3σ Mahalanobis cutoff that defines the binning
+        # radius (projection.py:116).  Applying it per-pixel makes the render
+        # independent of tile granularity: any pixel outside a gaussian's
+        # tile AABB is beyond 3σ (|d| > r >= 3√λ1 ⇒ dᵀΣ⁻¹d > 9), so pairs
+        # the binning missed would have been masked here anyway.
         alpha = jnp.where(
-            g_val[:, :, None] & (power <= 0.0) & (alpha >= 1.0 / 255.0), alpha, 0.0
+            g_val[:, :, None] & (power <= 0.0) & (power >= -4.5)
+            & (alpha >= 1.0 / 255.0), alpha, 0.0
         )
 
         one_minus = 1.0 - alpha

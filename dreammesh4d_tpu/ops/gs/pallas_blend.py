@@ -48,19 +48,19 @@ ALPHA_MAX = 0.99
 T_EPS = 1e-4
 
 
-def _pixel_grid(tiles_x_ref):
-    """(1,256) pixel x / y coordinates for the current tile."""
+def _pixel_grid(tiles_x_ref, tile: int = TILE):
+    """(1, tile²) pixel x / y coordinates for the current tile."""
     t = pl.program_id(0)
     tiles_x = tiles_x_ref[0]
     tx = (t % tiles_x).astype(jnp.float32)
     ty = (t // tiles_x).astype(jnp.float32)
     # Build (1, P) directly: Mosaic's iota is integer-only and (16,16)->(1,256)
     # shape casts don't lower, so derive x/y from a flat pixel index.
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    xs = (idx % TILE).astype(jnp.float32)
-    ys = (idx // TILE).astype(jnp.float32)
-    px = tx * TILE + xs
-    py = ty * TILE + ys
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, tile * tile), 1)
+    xs = (idx % tile).astype(jnp.float32)
+    ys = (idx // tile).astype(jnp.float32)
+    px = tx * tile + xs
+    py = ty * tile + ys
     return px, py
 
 
@@ -111,7 +111,10 @@ def _group_geometry(rows, px, py, g0, count):
     clamped = raw > ALPHA_MAX
     alpha0 = jnp.minimum(ALPHA_MAX, raw)
     valid = (jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], 1), 0) + g0) < count
-    live = (power <= 0.0) & (alpha0 >= ALPHA_MIN) & valid
+    # power >= -4.5 = the 3σ Mahalanobis cutoff defining the binning radius
+    # (projection.py:116) applied per-pixel — makes the composite independent
+    # of binning tile granularity (see blend.py chunk_step).
+    live = (power <= 0.0) & (power >= -4.5) & (alpha0 >= ALPHA_MIN) & valid
     alpha = jnp.where(live, alpha0, 0.0)
     return alpha, power, dx, dy, live, clamped
 

@@ -116,9 +116,16 @@ def _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap):
 
 
 def _fwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
+                stream_rows: bool, tile: int,
                 counts_ref, starts_ref, tiles_x_ref,
-                table_ref, pairs_hbm, out_ref, idx_smem, sem):
-    px, py = _pixel_grid(tiles_x_ref)
+                table_ref, pairs_hbm, out_ref, *rest):
+    if stream_rows:
+        rows_out_ref, idx_smem, sem = rest
+    else:
+        idx_smem, sem = rest
+        rows_out_ref = None
+    P = tile * tile
+    px, py = _pixel_grid(tiles_x_ref, tile)
     tri_s = _tri_strict(group)
     t = pl.program_id(0)
     count = jnp.minimum(counts_ref[t], cap)
@@ -134,6 +141,12 @@ def _fwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
         g, trans, acc = carry
         g0 = g * group
         rows = _read_group_rows(table_ref, idx_smem, slot_base, g0, group)
+        if rows_out_ref is not None:
+            # stream the gathered rows out contiguously: the backward replay
+            # re-reads them with VECTOR loads instead of repeating ~4 per-pair
+            # indexed sublane reads per gaussian (and drops its dependence on
+            # the VMEM-resident table entirely)
+            rows_out_ref[0, pl.ds(g0, group), :] = rows
         alpha, _, _, _, _, _ = _group_geometry(rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl
@@ -153,10 +166,12 @@ def _fwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
 
 
 def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
+                tile: int,
                 counts_ref, starts_ref, tiles_x_ref,
                 table_ref, pairs_hbm, fwd_out_ref, cot_ref,
                 grads_ref, idx_smem, sem):
-    px, py = _pixel_grid(tiles_x_ref)
+    P = tile * tile
+    px, py = _pixel_grid(tiles_x_ref, tile)
     tri_s = _tri_strict(group)
     tri_i = _tri_incl(group)
     t = pl.program_id(0)
@@ -214,9 +229,9 @@ def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
 
 
 def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
+                      stream_rows: bool, tile: int,
                       counts_ref, starts_ref, tiles_x_ref,
-                      table_ref, pairs_hbm, fwd_out_ref, cot_ref,
-                      grads_ref, idx_smem, sem):
+                      *rest):
     """Backward replay that accumulates per-GAUSSIAN gradients directly into
     a VMEM-resident (N+1, ROW) table instead of emitting per-pair rows.
 
@@ -224,9 +239,23 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
     per tile, so the read-modify-write on ``grads_ref`` rows is race-free.
     This removes the whole post-kernel reduction (permutation sort + M
     row-gathers over the (T·cap, ROW) buffer — the largest block in the
-    fwd+bwd profile) at the cost of ``group`` indexed row updates per group,
-    symmetric to the indexed row reads the kernel already does."""
-    px, py = _pixel_grid(tiles_x_ref)
+    fwd+bwd profile) at the cost of ``group`` indexed row updates per group.
+
+    With ``stream_rows`` the forward's streamed (T, cap, ROW) row dump
+    replaces the VMEM-resident table: group rows arrive as ONE vector load
+    per group instead of ``group`` indexed sublane reads, and the kernel no
+    longer books the (N+1, ROW) table in VMEM at all (only the pair-index
+    SMEM window survives, for the RMW target indices)."""
+    if stream_rows:
+        (pairs_hbm, pairrows_ref, fwd_out_ref, cot_ref,
+         grads_ref, idx_smem, sem) = rest
+        table_ref = None
+    else:
+        (table_ref, pairs_hbm, fwd_out_ref, cot_ref,
+         grads_ref, idx_smem, sem) = rest
+        pairrows_ref = None
+    P = tile * tile
+    px, py = _pixel_grid(tiles_x_ref, tile)
     tri_s = _tri_strict(group)
     tri_i = _tri_incl(group)
     t = pl.program_id(0)
@@ -239,18 +268,25 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
 
     slot_base = _seg_prefetch(pairs_hbm, starts_ref, idx_smem, sem, cap)
 
+    # fold the two /(1-α) terms into one: dα = T_excl·(g·c) − (S − prefix)/(1−α)
+    # with S = g·C_total + g_T·T_final hoisted per tile (saves one (G,P)
+    # divide per group — divides are multi-op on the VPU)
     c_total_dot_g = jnp.sum(
         fwd_out_ref[0, :C, :] * cot_ref[0, :C, :], axis=0, keepdims=True
     )
     t_final = fwd_out_ref[0, C:C + 1, :]
     g_col = cot_ref[0, :C, :]
     g_T = cot_ref[0, C:C + 1, :]
+    s_tot = c_total_dot_g + g_T * t_final
     n_groups = pl.cdiv(count, group)
 
     def body(carry):
         g, trans, gdot_cpre = carry
         g0 = g * group
-        rows = _read_group_rows(table_ref, idx_smem, slot_base, g0, group)
+        if pairrows_ref is not None:
+            rows = pairrows_ref[0, pl.ds(g0, group), :]
+        else:
+            rows = _read_group_rows(table_ref, idx_smem, slot_base, g0, group)
         alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl
@@ -260,9 +296,7 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
         contrib = gdotc * w
         prefix = gdot_cpre + _matmul_bf16(tri_i, contrib)
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
-        d_alpha = (
-            t_excl * gdotc - (c_total_dot_g - prefix) / one_m - g_T * t_final / one_m
-        )
+        d_alpha = t_excl * gdotc - (s_tot - prefix) / one_m
         d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
         d_raw = jnp.where(clamped, 0.0, d_alpha)
         d_power = d_raw * alpha
@@ -288,28 +322,32 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
     jax.lax.while_loop(cond, body, (0, trans0, gpre0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def blend_pairs_pallas(
     sorted_gauss, starts_counts, means2d, conics_colors, opacities,
     W: int, H: int, n_channels: int, cap: int, interpret: bool,
     group: int = GROUP, bwd_accum: bool = True, mm_bf16: bool = False,
+    stream_rows: bool = False, tile: int = TILE,
 ):
     """starts_counts = (starts, counts, sorted_tile, sorted_origpos, perm,
     inv_rank) — the last two are the rank-mode depth permutation and its
     inverse (None in pairs mode)."""
     out, _ = _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors,
                        opacities, W, H, n_channels, cap, interpret, group,
-                       mm_bf16)
+                       mm_bf16, stream_rows, tile)
     return out
 
 
 def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
-              W, H, n_channels, cap, interpret, group, mm_bf16):
+              W, H, n_channels, cap, interpret, group, mm_bf16,
+              stream_rows=False, tile=TILE):
     conics, colors = conics_colors
     starts, counts, sorted_tile, sorted_origpos, perm, inv_rank = starts_counts
+    P = tile * tile
     T = starts.shape[0]
     C = n_channels
-    tiles_x = (W + TILE - 1) // TILE
+    tiles_x = (W + tile - 1) // tile
     rows = _pack_rows(means2d, conics, colors, opacities)  # (N+1, ROW)
     N = means2d.shape[0]
     if perm is not None:
@@ -319,6 +357,21 @@ def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
     # pad the pair array so ds(start, cap) never overruns
     pairs = jnp.concatenate([sorted_gauss, jnp.full((dma_window(cap),), N, jnp.int32)], 0)
 
+    if stream_rows:
+        out_specs = (
+            pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cap, ROW), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((T, C + 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, cap, ROW), jnp.float32),
+        )
+    else:
+        out_specs = pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((T, C + 1, P), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -326,48 +379,68 @@ def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # row table, resident
             pl.BlockSpec(memory_space=pl.ANY),  # pair indices in HBM
         ],
-        out_specs=pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.SMEM((2 * dma_window(cap),), jnp.int32), pltpu.SemaphoreType.DMA((2,))],
     )
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, C, cap, group, mm_bf16),
+    result = pl.pallas_call(
+        functools.partial(_fwd_kernel, C, cap, group, mm_bf16, stream_rows,
+                          tile),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, C + 1, P), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(counts.astype(jnp.int32), starts.astype(jnp.int32),
       jnp.asarray([tiles_x], jnp.int32), rows, pairs)
+    if stream_rows:
+        out, pair_rows = result
+    else:
+        out, pair_rows = result, None
     res = (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
-           conics, colors, opacities, rows, pairs, out, inv_rank)
+           conics, colors, opacities, rows, pairs, out, inv_rank, pair_rows)
     return out, res
 
 
 def _fwd_rule(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
-              W, H, n_channels, cap, interpret, group, bwd_accum, mm_bf16):
+              W, H, n_channels, cap, interpret, group, bwd_accum, mm_bf16,
+              stream_rows, tile):
     return _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors,
                      opacities, W, H, n_channels, cap, interpret, group,
-                     mm_bf16)
+                     mm_bf16, stream_rows, tile)
 
 
-def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
+def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, mm_bf16,
+                    stream_rows, tile, res, cot):
     """In-kernel per-gaussian accumulation: the kernel's output IS the
     (N+1, ROW) gradient table — no permutation sort, no row-gathers."""
     (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
-     conics, colors, opacities, rows, pairs, fwd_out, inv_rank) = res
+     conics, colors, opacities, rows, pairs, fwd_out, inv_rank, pair_rows) = res
+    P = tile * tile
     T = starts.shape[0]
     C = n_channels
     N = means2d.shape[0]
-    tiles_x = (W + TILE - 1) // TILE
+    tiles_x = (W + tile - 1) // tile
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(T,),
-        in_specs=[
+    if stream_rows:
+        # the forward streamed each tile's gathered rows to (T, cap, ROW):
+        # the replay reads them as pipelined per-tile blocks — no VMEM table
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),  # pair indices (RMW targets)
+            pl.BlockSpec((1, cap, ROW), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        inputs = (pairs, pair_rows, fwd_out, cot)
+    else:
+        in_specs = [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # row table
             pl.BlockSpec(memory_space=pl.ANY),  # pair indices
             pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C + 1, P), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        ]
+        inputs = (rows, pairs, fwd_out, cot)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=in_specs,
         # full-size accumulator revisited by every grid step (sequential grid)
         out_specs=pl.BlockSpec((N + 1, ROW), lambda i, *_: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -377,12 +450,13 @@ def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
         ],
     )
     acc = pl.pallas_call(
-        functools.partial(_bwd_kernel_accum, C, cap, group, mm_bf16),
+        functools.partial(_bwd_kernel_accum, C, cap, group, mm_bf16,
+                          stream_rows, tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N + 1, ROW), jnp.float32),
         interpret=interpret,
     )(counts.astype(jnp.int32), starts.astype(jnp.int32),
-      jnp.asarray([tiles_x], jnp.int32), rows, pairs, fwd_out, cot)
+      jnp.asarray([tiles_x], jnp.int32), *inputs)
 
     if inv_rank is not None:
         # rank-mode: rows of acc are in depth order; one (N, ROW) row gather
@@ -401,23 +475,25 @@ def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
 
 
 def _bwd_rule_dispatch(W, H, n_channels, cap, interpret, group, bwd_accum,
-                       mm_bf16, res, cot):
+                       mm_bf16, stream_rows, tile, res, cot):
     if bwd_accum:
         return _bwd_rule_accum(W, H, n_channels, cap, interpret, group,
-                               mm_bf16, res, cot)
-    return _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot)
+                               mm_bf16, stream_rows, tile, res, cot)
+    return _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, tile,
+                     res, cot)
 
 
-def _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
+def _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, tile, res, cot):
     (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
-     conics, colors, opacities, rows, pairs, fwd_out, inv_rank) = res
+     conics, colors, opacities, rows, pairs, fwd_out, inv_rank, pair_rows) = res
     assert inv_rank is None, "rank-mode binning requires bwd_accum=True"
+    P = tile * tile
     T = starts.shape[0]
     C = n_channels
     N = means2d.shape[0]
     NM = sorted_gauss.shape[0]
     M = NM // N
-    tiles_x = (W + TILE - 1) // TILE
+    tiles_x = (W + tile - 1) // tile
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -436,7 +512,7 @@ def _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, res, cot):
         ],
     )
     tile_grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, C, cap, group, mm_bf16),
+        functools.partial(_bwd_kernel, C, cap, group, mm_bf16, tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, cap, ROW), jnp.float32),
         interpret=interpret,
@@ -499,28 +575,30 @@ def blend_image_resident(
     group: int = GROUP,
     bwd_accum: bool = True,
     mm_bf16: bool = False,
+    stream_rows: bool = False,
+    tile: int = TILE,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full-image blend through the resident kernel (same outputs/contract as
     pallas_blend.blend_image_pallas)."""
     C_user = colors.shape[-1]
     colors_aug = jnp.concatenate([colors, depths[:, None]], -1)
     C = C_user + 1
-    tiles_x = (W + TILE - 1) // TILE
-    tiles_y = (H + TILE - 1) // TILE
+    tiles_x = (W + tile - 1) // tile
+    tiles_y = (H + tile - 1) // tile
 
     out = blend_pairs_pallas(
         pa.sorted_gauss,
         (pa.starts, pa.counts, pa.sorted_tile, pa.sorted_origpos,
          pa.depth_order, pa.inv_rank),
         means2d, (conics, colors_aug), opacities, W, H, C, cap, interpret, group,
-        bwd_accum, mm_bf16,
+        bwd_accum, mm_bf16, stream_rows and bwd_accum, tile,
     )
     acc = out[:, :C, :]
     t_final = out[:, C, :]
 
     def untile(flat, ch):
-        img = flat.reshape(tiles_y, tiles_x, ch, TILE, TILE)
-        img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * TILE, tiles_x * TILE, ch)
+        img = flat.reshape(tiles_y, tiles_x, ch, tile, tile)
+        img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * tile, tiles_x * tile, ch)
         return img[:H, :W]
 
     colors_img = untile(acc[:, :C_user, :], C_user)

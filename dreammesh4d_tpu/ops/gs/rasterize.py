@@ -87,6 +87,19 @@ class RasterizerConfig(NamedTuple):
     # quantized-depth sort; "rank" = SINGLE-operand sort keyed by depth rank
     # (the rank doubles as the row-table index; needs bwd_accum)
     binning: str = "pairs"
+    # resident backend + bwd_accum: the forward streams each tile's gathered
+    # rows to a (T, cap, ROW) buffer so the backward replay reads them as ONE
+    # vector load per group instead of `group` indexed sublane reads — and
+    # drops the (N+1, ROW) VMEM table from the backward kernel entirely
+    # (halves its scoped-VMEM booking; unblocks compiling the rasterizer
+    # beside the UNet for guidance-size renders).
+    stream_rows: bool = True
+    # pixels per tile side for the resident backend (binning + blend kernel).
+    # 16 matches the CUDA rasterizer's BLOCK_X/Y; 32 quarters the pair count
+    # (RMW + sort + glue all scale with pairs) at +~11% pixel math — the
+    # better trade on dense scenes.  The xla/pallas table backends are fixed
+    # at 16.
+    tile_px: int = 16
 
 
 def rasterize(
@@ -139,7 +152,8 @@ def _auto_group(cfg: RasterizerConfig, n_gaussians: int) -> int:
     """Trace-time group-size heuristic from average pairs per tile."""
     if cfg.group:
         return cfg.group
-    tiles = ((cfg.width + 15) // 16) * ((cfg.height + 15) // 16)
+    tp = cfg.tile_px
+    tiles = ((cfg.width + tp - 1) // tp) * ((cfg.height + tp - 1) // tp)
     avg = n_gaussians * cfg.max_tiles_per_gaussian / max(tiles, 1)
     # measured: avg 879 pairs/tile -> group 128 is +15% (MXU-sized matmuls);
     # avg 264 -> groups 64/128 are ~4x SLOWER (sparse tiles pay a full
@@ -166,6 +180,7 @@ def _rasterize_projected(
                 cfg.width, cfg.height, cfg.max_tiles_per_gaussian,
                 conics=jax.lax.stop_gradient(proj.conics),
                 opacities=jax.lax.stop_gradient(opacities),
+                tile=cfg.tile_px,
             )
         else:
             pa = bin_gaussians_pairs(
@@ -175,6 +190,7 @@ def _rasterize_projected(
                 need_origpos=not cfg.bwd_accum,
                 conics=jax.lax.stop_gradient(proj.conics),
                 opacities=jax.lax.stop_gradient(opacities),
+                tile=cfg.tile_px,
             )
         rgb, alpha, depth = blend_image_resident(
             pa, proj.means2d, proj.conics,
@@ -182,8 +198,10 @@ def _rasterize_projected(
             cap=cfg.tile_capacity, interpret=cfg.interpret,
             group=_auto_group(cfg, proj.means2d.shape[0]),
             bwd_accum=cfg.bwd_accum, mm_bf16=cfg.bf16_matmuls,
+            stream_rows=cfg.stream_rows, tile=cfg.tile_px,
         )
         return RasterizeOutput(rgb, proj.radii, depth, alpha)
+    assert cfg.tile_px == 16, "xla/pallas table backends are fixed at 16px tiles"
     assign = bin_gaussians(
         jax.lax.stop_gradient(proj.means2d),
         proj.radii,

@@ -48,15 +48,61 @@ def main():
     }
 
     variants = [
-        ("base-f32-pairs-g0", dict()),
-        ("bf16mm", dict(bf16_matmuls=True)),
-        ("rank", dict(binning="rank")),
-        ("bf16mm+rank", dict(bf16_matmuls=True, binning="rank")),
-        ("g64", dict(group=64)),
-        ("bf16mm+rank+g64", dict(bf16_matmuls=True, binning="rank", group=64)),
-        ("g256", dict(group=256)),
-        ("mtpg6", dict(max_tiles_per_gaussian=6)),
+        ("bf16mm+stream", dict(bf16_matmuls=True, stream_rows=True)),
+        # tile_px=32 quarters the pair count (RMW + sort + glue all scale
+        # with pairs); spans quarter so max_tiles_per_gaussian drops and
+        # capacity grows ~4x.  Round-3 sweep: t32+cap2048+m4 = 113.3 fps
+        # (vs 94.5 at t16) — now tuning m (span-truncation fidelity) / cap /
+        # group / tile64 around that point.
+        ("t32+cap2048+m4", dict(bf16_matmuls=True, stream_rows=True,
+                                tile_px=32, max_tiles_per_gaussian=4,
+                                tile_capacity=2048)),
+        ("t32+cap2048+m6", dict(bf16_matmuls=True, stream_rows=True,
+                                tile_px=32, max_tiles_per_gaussian=6,
+                                tile_capacity=2048)),
+        ("t32+cap3072+m6", dict(bf16_matmuls=True, stream_rows=True,
+                                tile_px=32, max_tiles_per_gaussian=6,
+                                tile_capacity=3072)),
+        ("t32+cap2048+m4+g64", dict(bf16_matmuls=True, stream_rows=True,
+                                    tile_px=32, max_tiles_per_gaussian=4,
+                                    tile_capacity=2048, group=64)),
+        ("t32+cap2048+m4+g256", dict(bf16_matmuls=True, stream_rows=True,
+                                     tile_px=32, max_tiles_per_gaussian=4,
+                                     tile_capacity=2048, group=256)),
+        ("t32+cap2048+m4+nostream", dict(bf16_matmuls=True, stream_rows=False,
+                                         tile_px=32, max_tiles_per_gaussian=4,
+                                         tile_capacity=2048)),
+        ("t32+cap2048+m4+rank", dict(bf16_matmuls=True, stream_rows=True,
+                                     tile_px=32, max_tiles_per_gaussian=4,
+                                     tile_capacity=2048, binning="rank")),
+        ("t32+cap2048+m3", dict(bf16_matmuls=True, stream_rows=True,
+                                tile_px=32, max_tiles_per_gaussian=3,
+                                tile_capacity=2048)),
+        ("t32+cap1536+m4", dict(bf16_matmuls=True, stream_rows=True,
+                                tile_px=32, max_tiles_per_gaussian=4,
+                                tile_capacity=1536)),
+        ("t32+cap2048+m4+g192", dict(bf16_matmuls=True, stream_rows=True,
+                                     tile_px=32, max_tiles_per_gaussian=4,
+                                     tile_capacity=2048, group=192)),
     ]
+    if len(sys.argv) > 2 and sys.argv[2] == "t64":
+        variants += [
+            ("t64+cap4096+m2", dict(bf16_matmuls=True, stream_rows=True,
+                                    tile_px=64, max_tiles_per_gaussian=2,
+                                    tile_capacity=4096)),
+            ("t64+cap4096+m4", dict(bf16_matmuls=True, stream_rows=True,
+                                    tile_px=64, max_tiles_per_gaussian=4,
+                                    tile_capacity=4096)),
+        ]
+    if len(sys.argv) > 2 and sys.argv[2] == "full":
+        variants += [
+            ("base-f32-pairs-g0", dict()),
+            ("bf16mm", dict(bf16_matmuls=True)),
+            ("rank", dict(binning="rank")),
+            ("g64", dict(group=64)),
+            ("g256", dict(group=256)),
+            ("mtpg6", dict(max_tiles_per_gaussian=6)),
+        ]
     results = {}
     for name, overrides in variants:
         base = dict(width=W, height=H, tan_fovx=t, tan_fovy=t, tile_capacity=1024,

@@ -43,9 +43,9 @@ def main():
     pos = camera_position_from_spherical(jnp.asarray(15.0), jnp.asarray(30.0), jnp.asarray(2.2))
     cam = get_cam_info_gaussian(look_at_c2w(pos), FOV, FOV, 0.01, 100.0)
     t = float(np.tan(FOV / 2))
-    cfg = RasterizerConfig(W, H, t, t, tile_capacity=1024, chunk=32,
-                           max_tiles_per_gaussian=9, backend="pallas_resident",
-                           bf16_matmuls=True)
+    cfg = RasterizerConfig(W, H, t, t, tile_capacity=2048, chunk=32,
+                           max_tiles_per_gaussian=4, backend="pallas_resident",
+                           bf16_matmuls=True, stream_rows=True, tile_px=32)
 
     def loss_fn(params):
         out = rasterize(
