@@ -32,6 +32,7 @@ from ..export.mesh_io import MeshData, load_mesh, save_obj, save_ply_mesh
 from ..models.geometry.sugar import SuGaRConfig, create_sugar, gaussian_attributes
 from ..ops.gs import RasterizerConfig
 from ..ops.hashgrid import progressive_level_mask
+from ..parallel.context import ParallelContext
 from ..utils.saving import Saver
 from ..utils.schedule import C
 
@@ -89,24 +90,36 @@ def build_raster_config(height, width, fovy_deg: float,
         interpret=bool(r.get("interpret", False)),
         bf16_matmuls=bool(r.get("bf16_matmuls", False)),
         binning=str(r.get("binning", "pairs")),
+        stream_rows=bool(r.get("stream_rows", True)),
+        tile_px=int(r.get("tile_px", 16)),
     )
 
 
 def maybe_build_guidance(system_cfg: dict, num_frames: int = 1):
     """Return (guidance, params, bank_builder) or (None, None, None) when the
-    diffusion checkpoint is unavailable."""
+    diffusion checkpoint is unavailable.
+
+    ``pretrained_model_name_or_path: random[:seed]`` initializes the guidance
+    with random weights — an SDS smoke path for multi-device/integration runs
+    with no checkpoint on disk (the sharded step compiles and executes
+    identically; only the scores are meaningless)."""
     gcfg_dict = dict(system_cfg.get("guidance", {}))
-    path = gcfg_dict.get("pretrained_model_name_or_path", "")
-    if not path or not os.path.exists(str(path)):
+    path = str(gcfg_dict.get("pretrained_model_name_or_path", "") or "")
+    is_random = path == "random" or path.startswith("random:")
+    if not path or (not is_random and not os.path.exists(path)):
         ds.warn("Zero123 checkpoint not found (%r) — SDS guidance disabled.", path)
         return None
     from ..models.guidance.zero123 import StableZero123Guidance, Zero123Config
 
     zcfg = _filtered_dataclass(Zero123Config, gcfg_dict)
     guidance = StableZero123Guidance(zcfg)
+    if is_random:
+        seed = int(path.partition(":")[2] or 0)
+        params = guidance.modules.init_params(jax.random.PRNGKey(seed))
+        return guidance, params
     from ..models.guidance.zero123.convert import load_zero123_checkpoint
 
-    params = load_zero123_checkpoint(str(path), guidance.modules)
+    params = load_zero123_checkpoint(path, guidance.modules)
     return guidance, params
 
 
@@ -159,6 +172,10 @@ class GaussianStageExperiment:
         system = cfg.system
         self.saver = Saver(os.path.join(cfg.trial_dir, "save"))
         self.data = make_single_image_datamodule(cfg.data, cfg.seed)
+        self.par = ParallelContext.from_trainer_cfg(dict(cfg.trainer or {}))
+        if self.par.active:
+            self.par.check_batch_size(self.data.cfg.random_camera.batch_size,
+                                      "data.random_camera.batch_size")
 
         geo = dict(system.get("geometry", {}))
         self.gcfg = GaussianConfig(
@@ -221,7 +238,8 @@ class GaussianStageExperiment:
             invert_bg_prob=float(system.get("renderer", {}).get("invert_bg_prob", 1.0)),
             sugar_reg_start=int(freq.get("start_sugar_reg", 3000)),
         )
-        self.state = init_gaussian_train_state(gaussians, optimizer)
+        self.state = self.par.replicate(init_gaussian_train_state(gaussians, optimizer))
+        self._gstate = self.par.shard_guidance(self._gstate)
         self._make_reg_state = make_reg_state
         self.reg_state = make_reg_state(self.state)
         self.rng = jax.random.PRNGKey(cfg.seed)
@@ -231,7 +249,7 @@ class GaussianStageExperiment:
         keep = ("ref_cameras", "ref_rgb", "ref_mask", "rand_cameras")
         if self._gstate is not None:  # SDS conditioning needs the view poses
             keep += ("elevation", "azimuth", "camera_distances")
-        b = {k: batch[k] for k in keep}
+        b = self.par.shard_batch({k: batch[k] for k in keep})
         self.rng, k = jax.random.split(self.rng)
         self.state, metrics = self._train_step(self.state, b, self.reg_state, k,
                                                self._gstate)
@@ -311,6 +329,12 @@ class SugarStaticExperiment:
         system = cfg.system
         self.saver = Saver(os.path.join(cfg.trial_dir, "save"))
         self.data = make_single_image_datamodule(cfg.data, cfg.seed)
+        # dp×tp mesh from trainer.devices / trainer.mesh (reference: Lightning
+        # DDP via devices=-1, launch.py:228-235)
+        self.par = ParallelContext.from_trainer_cfg(dict(cfg.trainer or {}))
+        if self.par.active:
+            self.par.check_batch_size(self.data.cfg.random_camera.batch_size,
+                                      "data.random_camera.batch_size")
 
         geo_cfg_d = dict(system.get("geometry", {}))
         mesh_path = geo_cfg_d.get("surface_mesh_to_bind_path")
@@ -367,7 +391,8 @@ class SugarStaticExperiment:
             invert_bg_prob=invert_bg_prob, ref_raster_cfg=ref_raster_cfg,
         )
         self._render_eval = make_render_eval(self.static, self.raster_cfg)
-        self.state = init_state(params, optimizer)
+        self.state = self.par.replicate(init_state(params, optimizer))
+        self._gstate = self.par.shard_guidance(self._gstate)
         self.rng = jax.random.PRNGKey(cfg.seed)
 
     def train_step(self, step: int) -> Dict[str, float]:
@@ -387,7 +412,7 @@ class SugarStaticExperiment:
             batch["rand_rays_o"] = batch["rays_o"]
             batch["rand_rays_d"] = batch["rays_d"]
             keep += ("rand_rays_o", "rand_rays_d")
-        batch = {k: batch[k] for k in keep}
+        batch = self.par.shard_batch({k: batch[k] for k in keep})
         self.rng, k = jax.random.split(self.rng)
         self.state, metrics = self._train_step(self.state, batch, k, self._gstate)
         return metrics
@@ -463,6 +488,10 @@ class Sugar4DGenExperiment:
         system = cfg.system
         self.saver = Saver(os.path.join(cfg.trial_dir, "save"))
         self.data = make_temporal_datamodule(cfg.data, cfg.seed)
+        self.par = ParallelContext.from_trainer_cfg(dict(cfg.trainer or {}))
+        if self.par.active:
+            self.par.check_batch_size(self.data.cfg.num_frames,
+                                      "data.num_frames")
 
         geo_cfg_d = dict(system.get("geometry", {}))
         mesh_path = geo_cfg_d.get("surface_mesh_to_bind_path")
@@ -585,7 +614,8 @@ class Sugar4DGenExperiment:
         self._render_eval = make_dynamic_render_eval(
             sugar_params, self.static, deform_cfg, self.raster_cfg
         )
-        self.state = init_dyn_state(deform_params, optimizer)
+        self.state = self.par.replicate(init_dyn_state(deform_params, optimizer))
+        self._gstate = self.par.shard_guidance(self._gstate)
         self.rng = jax.random.PRNGKey(cfg.seed)
 
     def train_step(self, step: int) -> Dict[str, float]:
@@ -599,7 +629,7 @@ class Sugar4DGenExperiment:
                 "rand_cameras", "inter_timestamps")
         if self._gstate is not None:  # SDS conditioning needs the view poses
             keep += ("elevation", "azimuth", "camera_distances")
-        batch = {k: batch[k] for k in keep}
+        batch = self.par.shard_batch({k: batch[k] for k in keep})
         self.rng, k = jax.random.split(self.rng)
         self.state, metrics = self._train_step(self.state, batch, k, self._gstate)
         if (self.guidance_eval_every > 0 and self._gstate is not None
@@ -723,6 +753,10 @@ class Zero123Experiment:
         system = cfg.system
         self.saver = Saver(os.path.join(cfg.trial_dir, "save"))
         self.data = make_single_image_datamodule(cfg.data, cfg.seed)
+        self.par = ParallelContext.from_trainer_cfg(dict(cfg.trainer or {}))
+        if self.par.active:
+            self.par.check_batch_size(self.data.cfg.random_camera.batch_size,
+                                      "data.random_camera.batch_size")
 
         geo_d = dict(system.get("geometry", {}))
         pos_enc = dict(geo_d.get("pos_encoding_config", {}))
@@ -793,7 +827,8 @@ class Zero123Experiment:
         )
         self._image_renderer = make_image_renderer(self.geo_cfg, self.rcfg, self.material)
         params = init_implicit_volume(self.geo_cfg, jax.random.PRNGKey(cfg.seed))
-        self.state = init_nerf_state(params, optimizer)
+        self.state = self.par.replicate(init_nerf_state(params, optimizer))
+        self._gstate = self.par.shard_guidance(self._gstate)
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
         self.ambient_only_steps = int(system.get("material", {}).get("ambient_only_steps", 0))
 
@@ -830,6 +865,7 @@ class Zero123Experiment:
             b["ref_depth"] = ref["ref_depth"].reshape(-1, 1)
         if "ref_normal" in ref:
             b["ref_normal"] = ref["ref_normal"].reshape(-1, 3)
+        b = self.par.shard_batch(b)
         lm = jnp.asarray(progressive_level_mask(self.hg, step))
         ambient = 1.0 if step < self.ambient_only_steps else 0.1 + 0.9 * float(np.random.rand())
         if self._occ_update is not None and step % self.rcfg.grid_update_every == 0:

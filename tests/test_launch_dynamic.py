@@ -155,7 +155,13 @@ def test_dynamic_stage_with_sds_guidance(assets, tmp_path):
     import pytest
 
     pytest.importorskip("torch")
-    from ldm_ref import TINY_GUIDANCE_OVERRIDES, import_ldm, make_tiny_ldm_checkpoint
+    from ldm_ref import (
+        TINY_CLIP_OVERRIDES,
+        TINY_GUIDANCE_OVERRIDES,
+        import_ldm,
+        make_tiny_clip_visual,
+        make_tiny_ldm_checkpoint,
+    )
 
     ldm = import_ldm()
     if ldm is None:
@@ -165,7 +171,11 @@ def test_dynamic_stage_with_sds_guidance(assets, tmp_path):
 
     frames, mesh = assets
     ckpt = str(tmp_path / "tiny_zero123.ckpt")
-    make_tiny_ldm_checkpoint(ckpt, ldm)
+    # include a CLIP visual tower so this run exercises use_clip=true end to
+    # end: convert_clip_vision at startup, prepare_embeddings conditioning on
+    # real image features inside the launch surface (VERDICT round-2 item 2)
+    make_tiny_ldm_checkpoint(ckpt, ldm,
+                             clip_visual=make_tiny_clip_visual(proj_dim=16))
 
     class Args:
         train = True
@@ -196,6 +206,7 @@ def test_dynamic_stage_with_sds_guidance(assets, tmp_path):
         # dual-rasterizer-variant path (guidance_render_size, PERF.md)
         "system.guidance.guidance_render_size=24",
         *TINY_GUIDANCE_OVERRIDES,
+        *TINY_CLIP_OVERRIDES,  # later dotlist wins: flips use_clip back on
     ])
     trial = os.path.join(str(tmp_path), "out", "sugar-dynamic", "dynsds")
     with open(os.path.join(trial, "metrics.csv")) as f:
