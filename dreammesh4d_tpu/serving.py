@@ -82,17 +82,11 @@ class Viewer4D:
             d_scale=bool(geo.get("d_scale", True)),
             deformation=deform_cfg,
         )
-        static = build_dynamic_static(dyn_cfg, sugar_static, np.asarray(sugar_params.points))
-
-        ckpt = checkpoint
-        if ckpt == "LAST":
-            ckpt = latest_checkpoint(os.path.join(trial_dir, "ckpts"))
-            if ckpt is None:
-                raise FileNotFoundError(f"no checkpoints under {trial_dir}/ckpts")
-        state = restore_checkpoint(str(ckpt), None)
-        deform_params = jax.tree.map(jnp.asarray, state["deform_params"])
-
-        # the static-stage refined appearance, when the trial recorded it
+        # the static-stage refined appearance, when the trial recorded it —
+        # MUST load before build_dynamic_static: the deformation graph's node
+        # positions / skinning weights are built from the (refined) rest
+        # points, exactly as Sugar4DGenExperiment does (assembly.py) — building
+        # it from the raw bind mesh renders with mismatched skinning
         weights = system.get("weights")
         if weights and os.path.exists(str(weights)):
             prev = restore_checkpoint(str(weights), None)
@@ -102,6 +96,16 @@ class Viewer4D:
                 })
                 if loaded.points.shape == sugar_params.points.shape:
                     sugar_params = loaded
+
+        static = build_dynamic_static(dyn_cfg, sugar_static, np.asarray(sugar_params.points))
+
+        ckpt = checkpoint
+        if ckpt == "LAST":
+            ckpt = latest_checkpoint(os.path.join(trial_dir, "ckpts"))
+            if ckpt is None:
+                raise FileNotFoundError(f"no checkpoints under {trial_dir}/ckpts")
+        state = restore_checkpoint(str(ckpt), None)
+        deform_params = jax.tree.map(jnp.asarray, state["deform_params"])
 
         d = dict(cfg.data.get("random_camera", {}))
         H = int(height or d.get("eval_height", d.get("height", 512)))

@@ -1,0 +1,168 @@
+"""System-level RECOVERY benchmark (VERDICT round-2 item 4): procedurally
+animate a vertex-colored mesh, render a ground-truth video with the repo's
+own mesh rasterizer, run the REAL static-refine + dynamic stages through
+launch.py, and gate on held-out-view / held-out-timestamp PSNR floors.
+
+This is the offline proxy for the LPIPS/CLIP-parity north star
+(BASELINE.json): the reference demonstrates itself by training real
+sequences (/root/reference/README.md:60-107); here the "real sequence" is
+synthetic so ground truth exists at EVERY (view, time), letting us assert
+reconstruction quality numerically.  CPU slow tier runs at reduced scale
+(64², 16 frames, few hundred steps); scripts/bench_recovery.py runs the
+same recipe at 128²/more steps on TPU and records numbers beside BENCH.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+pytestmark = pytest.mark.slow
+
+ELEV, AZIM, DIST, FOVY = 5.0, 0.0, 3.8, 20.0  # the stage configs' ref camera
+
+
+def _psnr(a, b):
+    mse = float(np.mean((np.asarray(a, np.float32) - np.asarray(b, np.float32)) ** 2))
+    return -10.0 * np.log10(mse + 1e-10)
+
+
+def make_gt_assets(tmp_path, L=16, H=64, W=64):
+    """(frames_dir, mesh_path, gt_fn) — gt_fn(t, azimuth) renders ground
+    truth at ANY time/azimuth (the animation is continuous)."""
+    import imageio.v2 as imageio
+
+    from dreammesh4d_tpu.data.temporal_image import frame_timestamps
+    from dreammesh4d_tpu.export.mesh_io import MeshData, save_ply_mesh
+    from dreammesh4d_tpu.utils.procedural import (
+        deform_recovery,
+        make_icosphere,
+        render_vertex_color_view,
+    )
+
+    mesh = make_icosphere(3, radius=0.6)
+    rest, faces, colors = mesh.v_pos, mesh.t_pos_idx, mesh.v_rgb
+
+    def gt(t, azimuth=AZIM, h=H, w=W):
+        # map the data pipeline's timestamp convention (ts[i] = (i+1)/(L+1),
+        # frame_timestamps) to an animation phase that is EXACTLY 0 at frame
+        # 0 — the static stage fits the first video frame against the REST
+        # bind mesh, so the rest pose must be frame 0's pose
+        phase = (float(t) * (L + 1) - 1.0) / L
+        verts = deform_recovery(rest, phase)
+        return render_vertex_color_view(verts, faces, colors, ELEV, azimuth,
+                                        DIST, FOVY, h, w)
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    ts = frame_timestamps(L)
+    for i, t in enumerate(ts):
+        rgb, mask = gt(t)
+        rgba = np.concatenate([rgb, mask], -1)
+        imageio.imwrite(str(frames_dir / f"{i:03d}_rgba.png"),
+                        (np.clip(rgba, 0, 1) * 255).astype(np.uint8))
+    mesh_path = tmp_path / "rest_mesh.ply"
+    save_ply_mesh(str(mesh_path), MeshData(v_pos=rest, t_pos_idx=faces))
+    return str(frames_dir), str(mesh_path), gt, ts
+
+
+class _Args:
+    train = True
+    validate = test = export = False
+    typecheck = False
+    platform = "cpu"
+    gpu = "0"
+
+
+def run_recovery(tmp_path, H=64, W=64, L=16, static_steps=1000,
+                 dynamic_steps=600, num_frames=4):
+    """Shared recipe (CPU tier + TPU script): GT video -> static refine ->
+    dynamic stage -> dict of PSNRs at trained/held-out (view, time)."""
+    import launch
+
+    frames_dir, mesh_path, gt, ts = make_gt_assets(tmp_path, L=L, H=H, W=W)
+    out_root = f"{tmp_path}/out"
+
+    args = _Args()
+    args.config = os.path.join(REPO, "configs/sugar_static_refine.yaml")
+    launch.main(args, [
+        f"data.image_path={frames_dir}/000_rgba.png",
+        f"data.height={H}", f"data.width={W}",
+        f"data.random_camera.height={H}", f"data.random_camera.width={W}",
+        "data.random_camera.batch_size=2",
+        f"system.geometry.surface_mesh_to_bind_path={mesh_path}",
+        "system.renderer.backend=xla", "system.renderer.tile_capacity=512",
+        f"trainer.max_steps={static_steps}", "trainer.val_check_interval=10000",
+        f"exp_root_dir={out_root}", "use_timestamp=false", "tag=recov",
+    ])
+    static_ckpt = os.path.join(out_root, "sugar-refine", "recov", "ckpts",
+                               f"step_{static_steps:08d}")
+    assert os.path.isdir(static_ckpt)
+
+    args = _Args()
+    args.config = os.path.join(REPO, "configs/sugar_dynamic_dg.yaml")
+    launch.main(args, [
+        f"data.video_frames_dir={frames_dir}",
+        f"data.height={H}", f"data.width={W}", f"data.num_frames={num_frames}",
+        f"data.random_camera.height={H}", f"data.random_camera.width={W}",
+        f"data.random_camera.batch_size={num_frames}",
+        f"data.video_length={L}", f"system.geometry.num_frames={L}",
+        f"system.geometry.surface_mesh_to_bind_path={mesh_path}",
+        f"system.weights={static_ckpt}",
+        "system.geometry.n_dg_nodes=64", "system.geometry.dg_node_connectivity=6",
+        "system.geometry.dist_mode=eucdisc",
+        "system.renderer.backend=xla", "system.renderer.tile_capacity=512",
+        f"trainer.max_steps={dynamic_steps}", "trainer.val_check_interval=10000",
+        f"exp_root_dir={out_root}", "use_timestamp=false", "tag=recov",
+    ])
+    trial = os.path.join(out_root, "sugar-dynamic", "recov")
+
+    from dreammesh4d_tpu.serving import Viewer4D
+
+    viewer = Viewer4D.from_trial(trial, height=H, width=W)
+
+    def render(t, azimuth=AZIM):
+        return viewer.render(elevation_deg=ELEV, azimuth_deg=azimuth,
+                             distance=DIST, t=float(t))
+
+    res = {}
+    rest_img = gt(ts[0])[0]  # frame-0 pose = rest (the no-motion predictor)
+
+    # MAX-DEFORMATION trained timestamps (phase ±~1), training view — where
+    # the no-motion baseline is worst, so the floor requires tracked motion
+    deformed = (2, L // 4, 5 * L // 8, 3 * L // 4)
+    vals, base = [], []
+    for i in deformed:
+        g = gt(ts[i])[0]
+        vals.append(_psnr(render(ts[i]), g))
+        base.append(_psnr(rest_img, g))
+    res["psnr_trained_t"] = float(np.mean(vals))
+    res["psnr_no_motion_baseline"] = float(np.mean(base))
+    # HELD-OUT timestamps (midpoints near max deformation — the animation
+    # is continuous, so GT exists between trained frames)
+    mids = [(ts[i] + ts[i + 1]) / 2 for i in (L // 4 - 1, 3 * L // 4 - 1)]
+    res["psnr_heldout_t"] = float(np.mean(
+        [_psnr(render(t), gt(t)[0]) for t in mids]))
+    # HELD-OUT view (novel azimuth; single-view supervision — quality decays
+    # with angular distance from the reference view)
+    res["psnr_heldout_view"] = _psnr(render(ts[L // 2], azimuth=15.0),
+                                     gt(ts[L // 2], azimuth=15.0)[0])
+    return res
+
+
+def test_recovery_benchmark(tmp_path):
+    res = run_recovery(tmp_path)
+    print("recovery PSNRs:", res)
+    # calibrated 2026-08-19 (PERF.md): trained 24.0-26.6 dB, heldout-t
+    # 23.7/25.8 dB, novel@15 deg 17.6 dB, no-motion baseline 16.2-18.3 dB.
+    # The margin assertion is the real gate: the model must beat the
+    # rest-pose predictor by >=4 dB at max-deformation frames — silhouette
+    # overlap alone cannot pass it
+    assert res["psnr_trained_t"] >= 22.0, res
+    assert res["psnr_heldout_t"] >= 21.0, res
+    assert res["psnr_heldout_view"] >= 15.5, res
+    assert res["psnr_trained_t"] >= res["psnr_no_motion_baseline"] + 4.0, res
