@@ -7,7 +7,10 @@ full sugar_dynamic_dg.yaml config, 4 ref + 4 random views @512², keyframe +
 train step on the session accelerator.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
