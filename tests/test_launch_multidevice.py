@@ -41,6 +41,9 @@ TINY_RANDOM_GUIDANCE = [
     "system.guidance.image_size=32",
     "system.guidance.latent_size=16",
     "system.guidance.use_clip=false",
+    # render SDS views at the data size (256-px default would add a
+    # second 256^2 rasterizer compile to these tiny-CPU runs)
+    "system.guidance.guidance_render_size=0",
 ]
 
 MULTI = ["trainer.devices=8", "trainer.mesh=[2,4]"]
