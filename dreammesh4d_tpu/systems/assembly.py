@@ -599,6 +599,8 @@ class Sugar4DGenExperiment:
         frames_rgb_np, frames_mask_np = self.data.load_frames()
         self._video_frames = (jnp.asarray(frames_rgb_np), jnp.asarray(frames_mask_np))
         grs = int(dict(system.get("guidance", {})).get("guidance_render_size", 0) or 0)
+        if guidance_fn is None:
+            grs = 0  # the rand views only feed SDS; keep data-size renders
         rand_raster_cfg = None
         if grs and grs != d.random_camera.height:
             rand_raster_cfg = build_raster_config(grs, grs, d.default_fovy_deg, system)

@@ -37,7 +37,8 @@ def main():
 
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="recovery_"))
     res = run_recovery(tmp, H=H, W=H, static_steps=static_steps,
-                       dynamic_steps=dyn_steps)
+                       dynamic_steps=dyn_steps,
+                       platform="cpu" if "--cpu" in sys.argv else "auto")
     res = {k: round(float(v), 3) for k, v in res.items()}
     res.update({"resolution": H, "static_steps": static_steps,
                 "dynamic_steps": dyn_steps})

@@ -79,7 +79,7 @@ class _Args:
 
 
 def run_recovery(tmp_path, H=64, W=64, L=16, static_steps=1000,
-                 dynamic_steps=600, num_frames=4):
+                 dynamic_steps=600, num_frames=4, platform="cpu"):
     """Shared recipe (CPU tier + TPU script): GT video -> static refine ->
     dynamic stage -> dict of PSNRs at trained/held-out (view, time)."""
     import launch
@@ -88,6 +88,7 @@ def run_recovery(tmp_path, H=64, W=64, L=16, static_steps=1000,
     out_root = f"{tmp_path}/out"
 
     args = _Args()
+    args.platform = platform
     args.config = os.path.join(REPO, "configs/sugar_static_refine.yaml")
     launch.main(args, [
         f"data.image_path={frames_dir}/000_rgba.png",
@@ -104,6 +105,7 @@ def run_recovery(tmp_path, H=64, W=64, L=16, static_steps=1000,
     assert os.path.isdir(static_ckpt)
 
     args = _Args()
+    args.platform = platform
     args.config = os.path.join(REPO, "configs/sugar_dynamic_dg.yaml")
     launch.main(args, [
         f"data.video_frames_dir={frames_dir}",
