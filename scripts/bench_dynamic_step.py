@@ -61,9 +61,11 @@ def main():
 
     fov = np.radians(40.0)
     t = float(np.tan(fov / 2))
-    raster_cfg = RasterizerConfig(W, W, t, t, tile_capacity=1024, chunk=32,
-                                  max_tiles_per_gaussian=8,
-                                  backend="pallas_resident")
+    t32 = "--t32" in sys.argv  # 32-px binning tiles (PERF.md round-3)
+    tile_kw = (dict(tile_px=32, tile_capacity=2048, max_tiles_per_gaussian=4)
+               if t32 else dict(tile_capacity=1024, max_tiles_per_gaussian=8))
+    raster_cfg = RasterizerConfig(W, W, t, t, chunk=32,
+                                  backend="pallas_resident", **tile_kw)
     cam_cfg = RandomCameraConfig(height=W, width=W, batch_size=T)
     sampler = RandomCameraSampler(cam_cfg, seed=0)
 
@@ -103,9 +105,10 @@ def main():
 
     rand_raster_cfg = None
     if with_sds and "--sds256" in sys.argv:
+        rand_kw = (dict(tile_px=32, tile_capacity=1536, max_tiles_per_gaussian=4)
+                   if t32 else dict(tile_capacity=768, max_tiles_per_gaussian=8))
         rand_raster_cfg = RasterizerConfig(
-            256, 256, t, t, tile_capacity=768, chunk=32,
-            max_tiles_per_gaussian=8, backend="pallas_resident")
+            256, 256, t, t, chunk=32, backend="pallas_resident", **rand_kw)
     step_fn = make_dynamic_train_step(
         params, static, def_cfg, raster_cfg, optimizer, Sugar4DGenLosses(),
         arap_w, guidance_fn=guidance_fn, video_frames=video,
