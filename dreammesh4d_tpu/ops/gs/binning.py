@@ -268,12 +268,15 @@ def bin_gaussians_pairs(
             + jax.lax.broadcasted_iota(jnp.int32, (M, N), 0)
         ).reshape(-1)
         sorted_keys, sorted_gauss, sorted_origpos = jax.lax.sort(
-            (keys, gauss, origpos), num_keys=1
+            (keys, gauss, origpos), num_keys=1, is_stable=False
         )
         sorted_tile = sorted_keys >> depth_bits
     else:
         # in-kernel-accumulator backward: permutation inverse never needed
-        sorted_keys, sorted_gauss = jax.lax.sort((keys, gauss), num_keys=1)
+        # unstable: ties (same tile + quantized depth) already resolve
+        # arbitrarily by contract; stability costs sort passes
+        sorted_keys, sorted_gauss = jax.lax.sort((keys, gauss), num_keys=1,
+                                                 is_stable=False)
         sorted_origpos = sorted_tile = None
     # sentinel pairs (tile T) carry gauss id N for padded reads
     sorted_gauss = jnp.where(sorted_keys >= (T << depth_bits), N, sorted_gauss)
