@@ -58,15 +58,26 @@ def bake_texture(
     H: int,
     tex_size: int = 1024,
     mesh_tile_capacity: int = 256,
+    atlas: str = "square",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (texture (S,S,3) float, v_tex, t_tex_idx).
 
     Per view: render rgb with the supplied renderer, index-rasterize the mesh,
-    map each hit pixel through the face's UV square, scatter-add into the
-    texel accumulators."""
+    map each hit pixel through the face's UVs, scatter-add into the texel
+    accumulators.  ``atlas="square"`` is the reference DreamMesh4D bake path
+    (per-face squares, system/base.py:72-131); ``atlas="charts"`` is the
+    xatlas-style chart unwrap (uv_unwrap.unwrap_uv — contiguous neighbour
+    faces, mip/bilinear-friendly, the threestudio mesh-exporter convention,
+    threestudio/models/mesh.py:207-250)."""
     F = int(faces.shape[0])
-    v_tex_np, t_tex_np = build_square_atlas(F, tex_size)
-    face_uvs = jnp.asarray(v_tex_np.reshape(F, 3, 2))
+    if atlas == "charts":
+        from .uv_unwrap import unwrap_uv
+
+        v_tex_np, t_tex_np = unwrap_uv(np.asarray(verts), np.asarray(faces))
+        face_uvs = jnp.asarray(v_tex_np[t_tex_np])  # (F, 3, 2)
+    else:
+        v_tex_np, t_tex_np = build_square_atlas(F, tex_size)
+        face_uvs = jnp.asarray(v_tex_np.reshape(F, 3, 2))
 
     S = tex_size
     tex_acc = jnp.zeros((S * S, 3), jnp.float32)
