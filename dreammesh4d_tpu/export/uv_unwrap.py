@@ -125,7 +125,7 @@ def unwrap_uv(verts: np.ndarray, faces: np.ndarray,
     order = sorted(range(n_charts), key=lambda i: -charts[i][0])
 
     placements = [None] * n_charts
-    x = y = row_h = 0.0
+    x = y = row_h = max_row_w = 0.0
     for i in order:
         h, w = charts[i][0] * scale, charts[i][1] * scale
         if x + w + margin > 1.0 and x > 0.0:
@@ -135,8 +135,14 @@ def unwrap_uv(verts: np.ndarray, faces: np.ndarray,
         placements[i] = (x, y)
         x += w + margin
         row_h = max(row_h, h)
+        max_row_w = max(max_row_w, x - margin)
     used_h = y + row_h
-    fit = min(1.0, (1.0 - margin) / max(used_h, 1e-9))
+    # rescale by BOTH axes: used_h (rows overflow down) and max_row_w (a
+    # single chart wider than the unit square overflows right — an elongated
+    # ground-plane chart would otherwise be silently clipped onto the border)
+    fit = min(1.0,
+              (1.0 - margin) / max(used_h, 1e-9),
+              (1.0 - margin) / max(max_row_w, 1e-9))
 
     v_tex_parts = []
     t_tex = np.zeros((len(faces), 3), np.int64)
@@ -150,4 +156,10 @@ def unwrap_uv(verts: np.ndarray, faces: np.ndarray,
         v_tex_parts.append(uvn)
         offset += len(vids)
     v_tex = np.concatenate(v_tex_parts, 0).astype(np.float32)
+    # the fit rescale above guarantees containment; the clip below only
+    # swallows float round-off, never real overflow
+    if v_tex.size and (v_tex.min() < -1e-4 or v_tex.max() > 1.0 + 1e-4):
+        raise AssertionError(
+            f"uv packing overflow: range [{v_tex.min():.4f}, {v_tex.max():.4f}]"
+        )
     return np.clip(v_tex, 0.0, 1.0), t_tex.astype(np.int32)

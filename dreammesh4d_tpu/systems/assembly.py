@@ -96,19 +96,37 @@ def build_raster_config(height, width, fovy_deg: float,
 
 
 def maybe_build_guidance(system_cfg: dict, num_frames: int = 1):
-    """Return (guidance, params, bank_builder) or (None, None, None) when the
-    diffusion checkpoint is unavailable.
+    """Return ``(guidance, params)`` or ``None`` when SDS guidance is off.
 
-    ``pretrained_model_name_or_path: random[:seed]`` initializes the guidance
-    with random weights — an SDS smoke path for multi-device/integration runs
-    with no checkpoint on disk (the sharded step compiles and executes
-    identically; only the scores are meaningless)."""
+    ``pretrained_model_name_or_path`` semantics (reference
+    threestudio/models/guidance/stable_zero123_guidance.py:41-72 loads the
+    checkpoint unconditionally and crashes on a bad path — a typo must NOT
+    silently degrade to reconstruction-only training):
+
+    - ``""`` / ``none`` — guidance explicitly off, returns None.
+    - ``random[:seed]`` — random weights, an SDS smoke path for
+      multi-device/integration runs with no checkpoint on disk (the sharded
+      step compiles and executes identically; only the scores are
+      meaningless).
+    - any other path — must exist on disk, else FileNotFoundError unless
+      ``guidance.allow_missing: true`` opts into the reconstruction-only
+      degradation."""
     gcfg_dict = dict(system_cfg.get("guidance", {}))
     path = str(gcfg_dict.get("pretrained_model_name_or_path", "") or "")
     is_random = path == "random" or path.startswith("random:")
-    if not path or (not is_random and not os.path.exists(path)):
-        ds.warn("Zero123 checkpoint not found (%r) — SDS guidance disabled.", path)
+    if not path or path.lower() == "none":
         return None
+    if not is_random and not os.path.exists(path):
+        if gcfg_dict.get("allow_missing", False):
+            ds.warn("Zero123 checkpoint not found (%r) — SDS guidance disabled "
+                    "(guidance.allow_missing=true).", path)
+            return None
+        raise FileNotFoundError(
+            f"Zero123 guidance checkpoint not found: {path!r}. Set "
+            "system.guidance.pretrained_model_name_or_path to a real "
+            "checkpoint, 'random[:seed]' for an SDS smoke run, or 'none' / "
+            "system.guidance.allow_missing=true to train reconstruction-only."
+        )
     from ..models.guidance.zero123 import StableZero123Guidance, Zero123Config
 
     zcfg = _filtered_dataclass(Zero123Config, gcfg_dict)
@@ -706,10 +724,15 @@ class Sugar4DGenExperiment:
             ).rgb
 
         cams = pred["cameras"]
-        tex_size = int(self.cfg.system.get("exporter", {}).get("texture_size", 1024))
+        exporter_cfg = self.cfg.system.get("exporter", {})
+        tex_size = int(exporter_cfg.get("texture_size", 1024))
+        # system.exporter.atlas: "square" (per-face, reference DreamMesh4D
+        # bake, system/base.py:72-131) or "charts" (xatlas-style unwrap)
+        atlas = str(exporter_cfg.get("atlas", "square"))
         texture, v_tex, t_tex = bake_texture(
             vert.xyz[0], self.static.sugar.faces, cams.world_view, cams.full_proj,
             cams.camera_center, render_rgb, bake_hw, bake_hw, tex_size=tex_size,
+            atlas=atlas,
         )
         for i in range(L):
             export_textured_mesh(

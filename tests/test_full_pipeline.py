@@ -60,6 +60,7 @@ def test_readme_pipeline_chain(tmp_path):
 
     # ---- stage 1: static NeRF (stable-zero123), train + OBJ export -------
     nerf_over = [
+        "system.guidance.pretrained_model_name_or_path=none",
         f"data.image_path={img}", "data.height=48", "data.width=48",
         "data.random_camera.height=32", "data.random_camera.width=32",
         "data.random_camera.batch_size=2", "data.random_camera.eval_height=48",
@@ -91,6 +92,7 @@ def test_readme_pipeline_chain(tmp_path):
 
     # ---- stage 3: SuGaR static refine bound to the simplified mesh -------
     refine_over = [
+        "system.guidance.pretrained_model_name_or_path=none",
         f"data.image_path={img}", "data.height=32", "data.width=32",
         "data.random_camera.height=32", "data.random_camera.width=32",
         "data.random_camera.batch_size=2",
@@ -106,6 +108,7 @@ def test_readme_pipeline_chain(tmp_path):
 
     # ---- stage 4: dynamic stage seeded with the refined weights ----------
     dyn_over = [
+        "system.guidance.pretrained_model_name_or_path=none",
         f"data.video_frames_dir={frames}", "data.height=32", "data.width=32",
         "data.num_frames=2",
         "data.random_camera.height=32", "data.random_camera.width=32",

@@ -48,6 +48,7 @@ def test_dynamic_stage_launches(assets, tmp_path):
     args = Args()
     args.config = os.path.join(REPO, "configs/sugar_dynamic_dg.yaml")
     launch.main(args, [
+        "system.guidance.pretrained_model_name_or_path=none",
         f"data.video_frames_dir={frames}",
         "data.height=32", "data.width=32", "data.num_frames=2",
         "data.random_camera.height=32", "data.random_camera.width=32",
@@ -71,6 +72,7 @@ def test_dynamic_stage_launches(assets, tmp_path):
     args.train = False
     args.export = True
     launch.main(args, [
+        "system.guidance.pretrained_model_name_or_path=none",
         f"data.video_frames_dir={frames}",
         "data.height=32", "data.width=32", "data.num_frames=2",
         "data.random_camera.height=32", "data.random_camera.width=32",
@@ -85,6 +87,9 @@ def test_dynamic_stage_launches(assets, tmp_path):
         "trainer.max_steps=3", "trainer.val_check_interval=100",
         f"exp_root_dir={tmp_path}/out", "use_timestamp=false", "tag=dyn",
         "data.predict_height=64", "data.predict_width=64",
+        # exercise the xatlas-style chart unwrap from the launch surface
+        # (system.exporter.atlas plumbs through to bake_texture)
+        "system.exporter.atlas=charts",
         "resume=LAST",
     ])
     objs = []
@@ -111,6 +116,7 @@ def test_dynamic_stage_discrete_mode(assets, tmp_path):
     args = Args()
     args.config = os.path.join(REPO, "configs/sugar_dynamic_dg.yaml")
     launch.main(args, [
+        "system.guidance.pretrained_model_name_or_path=none",
         f"data.video_frames_dir={frames}",
         "data.height=32", "data.width=32", "data.num_frames=2",
         "data.random_camera.height=32", "data.random_camera.width=32",
@@ -187,6 +193,7 @@ def test_dynamic_stage_with_sds_guidance(assets, tmp_path):
     args = Args()
     args.config = os.path.join(REPO, "configs/sugar_dynamic_dg.yaml")
     launch.main(args, [
+        "system.guidance.pretrained_model_name_or_path=none",
         f"data.video_frames_dir={frames}",
         "data.height=32", "data.width=32", "data.num_frames=2",
         "data.random_camera.height=32", "data.random_camera.width=32",

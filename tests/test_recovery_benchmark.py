@@ -91,6 +91,7 @@ def run_recovery(tmp_path, H=64, W=64, L=16, static_steps=1000,
     args.platform = platform
     args.config = os.path.join(REPO, "configs/sugar_static_refine.yaml")
     launch.main(args, [
+        "system.guidance.pretrained_model_name_or_path=none",
         f"data.image_path={frames_dir}/000_rgba.png",
         f"data.height={H}", f"data.width={W}",
         f"data.random_camera.height={H}", f"data.random_camera.width={W}",
@@ -108,6 +109,7 @@ def run_recovery(tmp_path, H=64, W=64, L=16, static_steps=1000,
     args.platform = platform
     args.config = os.path.join(REPO, "configs/sugar_dynamic_dg.yaml")
     launch.main(args, [
+        "system.guidance.pretrained_model_name_or_path=none",
         f"data.video_frames_dir={frames_dir}",
         f"data.height={H}", f"data.width={W}", f"data.num_frames={num_frames}",
         f"data.random_camera.height={H}", f"data.random_camera.width={W}",

@@ -67,6 +67,35 @@ def test_charts_do_not_overlap():
     assert clash == 0, f"{clash} texels claimed by two charts"
 
 
+def test_wide_chart_does_not_overflow():
+    """A single elongated planar chart (aspect >> 1.6, e.g. a flat ground
+    plane) must be rescaled to fit the unit square, not clipped onto the
+    border (advisor finding r3: shelf packing only normalized by total
+    area, so w*scale could exceed 1)."""
+    # flat strip in the xy-plane: 20 x 1 quad grid, one chart
+    nx, nz = 21, 2
+    xs = np.linspace(0.0, 20.0, nx)
+    zs = np.linspace(0.0, 1.0, nz)
+    gx, gz = np.meshgrid(xs, zs, indexing="ij")
+    v = np.stack([gx, np.zeros_like(gx), gz], -1).reshape(-1, 3)
+    f = []
+    for i in range(nx - 1):
+        for j in range(nz - 1):
+            a = i * nz + j
+            b = (i + 1) * nz + j
+            f.append([a, b, a + 1])
+            f.append([b, b + 1, a + 1])
+    f = np.asarray(f, np.int64)
+    v_tex, t_tex = unwrap_uv(v, f)  # raises on packing overflow
+    assert v_tex.min() >= 0.0 and v_tex.max() <= 1.0
+    # the strip must keep its aspect (one chart, uniformly scaled): the UV
+    # bbox spans ~20x more in u than in v
+    span = v_tex.max(0) - v_tex.min(0)
+    assert max(span) / min(span) > 10.0
+    areas = _tri_area2(v_tex, t_tex)
+    assert np.all(np.abs(areas) > 1e-12)
+
+
 def test_relative_scale_preserved():
     """Texel density is uniform: UV area ratio between two faces matches
     their 3D area ratio (planar projection distorts < ~40% at 60 deg)."""
