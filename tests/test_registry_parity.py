@@ -1,10 +1,14 @@
 """Registry-name parity with the reference.
 
-The reference resolves every component through ``threestudio.find(name)``;
-this test pins the full set of names the reference registers
-(threestudio/**: grep @threestudio.register) so configs written against it
-resolve here too.
+The reference resolves every component through ``threestudio.find(name)`` and
+then CONSTRUCTS it: ``find(name)(cfg)`` (threestudio/systems/base.py:249-303).
+This test pins (a) the full set of names the reference registers so configs
+written against it resolve here too, and (b) that every resolved object is a
+genuine factory/class — constructing a usable component from a config mapping
+— never a bare module.
 """
+
+import types
 
 import jax.numpy as jnp
 import numpy as np
@@ -92,14 +96,194 @@ REFERENCE_NAMES = [
 
 
 @pytest.mark.parametrize("name", REFERENCE_NAMES)
-def test_reference_name_resolves(name):
-    assert ds.find(name) is not None
+def test_reference_name_resolves_to_constructable(name):
+    obj = ds.find(name)
+    assert obj is not None
+    # the reference contract is find(name)(cfg) -> component: a bare module
+    # would throw on that, so a module binding is a parity failure
+    assert not isinstance(obj, types.ModuleType), f"{name} resolves to a module"
+    assert callable(obj), f"{name} is not constructable/callable"
 
 
 def test_mixin_composition_still_works():
     cls = ds.find("dreamfusion-system:magic123-system")
     assert issubclass(cls, ds.find("dreamfusion-system"))
     assert issubclass(cls, ds.find("magic123-system"))
+
+
+# ---------------------------------------------------------------------------
+# Factory smoke construction: build each registry-backed component from a tiny
+# config and call its primary forward — proving the lookup surface constructs
+# working components, not placeholders.
+# ---------------------------------------------------------------------------
+
+
+def _tiny_mesh_dict():
+    # regular tetrahedron with vertex colors
+    v = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]], np.float32) * 0.5
+    f = np.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]], np.int32)
+    c = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]], np.float32)
+    return {"v_pos": v, "t_pos_idx": f, "v_rgb": c}
+
+
+def test_construct_implicit_volume():
+    g = ds.find("implicit-volume")({"n_neurons": 8, "n_hidden_layers": 1,
+                                    "hashgrid": {"n_levels": 2, "log2_hashmap_size": 8}})
+    d = g.forward_density(jnp.zeros((5, 3)))
+    assert d.shape[0] == 5 and bool(jnp.isfinite(d).all())
+
+
+def test_construct_implicit_sdf():
+    g = ds.find("implicit-sdf")({"n_neurons": 8,
+                                 "hashgrid": {"n_levels": 2, "log2_hashmap_size": 8}})
+    s = g.forward_sdf(jnp.zeros((4, 3)))
+    assert s.shape[0] == 4 and bool(jnp.isfinite(s).all())
+
+
+def test_construct_volume_grid():
+    g = ds.find("volume-grid")({"grid_size": (8, 8, 8)})
+    d = g.forward_density(jnp.zeros((3, 3)))
+    assert d.shape[0] == 3
+
+
+def test_construct_tet_sdf_grid():
+    g = ds.find("tetrahedra-sdf-grid")({"isosurface_resolution": 4})
+    out = g.isosurface()
+    assert out.verts.ndim == 2 and out.verts.shape[1] == 3
+
+
+def test_construct_custom_mesh(tmp_path):
+    from dreammesh4d_tpu.export.mesh_io import MeshData, save_obj
+
+    m = _tiny_mesh_dict()
+    path = tmp_path / "tet.obj"
+    save_obj(str(path), MeshData(v_pos=m["v_pos"], t_pos_idx=m["t_pos_idx"]))
+    g = ds.find("custom-mesh")({"shape_init": str(path), "n_neurons": 8,
+                                "hashgrid": {"n_levels": 2, "log2_hashmap_size": 8}})
+    feats = g.forward_features(jnp.zeros((2, 3)))
+    assert feats.shape == (2, 3)
+
+
+def test_construct_gaussian_splatting():
+    g = ds.find("gaussian-splatting")({"capacity": 64, "init_num": 16})
+    means, quats, scales, opac, sh = g.renderable()
+    assert means.shape == (64, 3) and quats.shape == (64, 4)
+    assert float(opac[16:].max()) == 0.0  # dead slots masked
+
+
+def test_construct_sugar_and_dynamic_sugar():
+    mesh = _tiny_mesh_dict()
+    g = ds.find("sugar")({"mesh": mesh, "n_gaussians_per_surface_triangle": 3,
+                          "mesh_component_min_ratio": 0.0})
+    attrs = g.gaussian_attributes()
+    assert attrs.means3d.shape == (4 * 3, 3)
+
+    dg = ds.find("dynamic-sugar")({
+        "mesh": mesh, "n_gaussians_per_surface_triangle": 3,
+        "mesh_component_min_ratio": 0.0,
+        "num_frames": 4, "n_dg_nodes": 4, "dg_node_connectivity": 2,
+        "dist_mode": "eucdisc",
+        "deformation": {"base_resolution": (4, 4, 4, 3), "multires": (1,),
+                        "hidden_dim": 8},
+    })
+    gs, vert = dg.timed_all(jnp.array([0.0, 0.5]))
+    assert gs.means3d.shape[0] == 2 and vert.xyz.shape[:2] == (2, 4)
+
+
+def test_construct_sugar_rasterizer():
+    from dreammesh4d_tpu.ops.cameras import get_cam_info_gaussian, look_at_c2w
+
+    r = ds.find("diff-sugar-rasterizer-normal")({
+        "width": 32, "height": 32, "tile_capacity": 64,
+        "max_tiles_per_gaussian": 4, "backend": "xla",
+    })
+    assert r.cfg.width == 32 and r.cfg.tile_capacity == 64
+    cam = get_cam_info_gaussian(look_at_c2w(jnp.array([0.0, 0.0, 3.0])), 0.7, 0.7, 0.01, 100.0)
+    out = r.render_view(
+        means3d=jnp.zeros((2, 3)),
+        quats=jnp.array([[1.0, 0, 0, 0]] * 2),
+        scales=jnp.full((2, 3), 0.1),
+        opacities=jnp.array([0.9, 0.9]),
+        sh=jnp.ones((2, 3, 1)),
+        sh_degree=0,
+        gs_normals=None,
+        camera=cam,
+        bg_color=jnp.zeros(3),
+    )
+    assert out["comp_rgb"].shape == (32, 32, 3)
+    assert bool(jnp.isfinite(out["comp_rgb"]).all())
+
+
+def test_construct_nerf_volume_renderer():
+    r = ds.find("nerf-volume-renderer")({
+        "num_samples_coarse": 8, "num_samples_fine": 8, "ray_chunk_train": 0,
+        "geometry": {"n_neurons": 8, "n_hidden_layers": 1,
+                     "hashgrid": {"n_levels": 2, "log2_hashmap_size": 8}},
+    })
+    geo = ds.find("implicit-volume")({"n_neurons": 8, "n_hidden_layers": 1,
+                                      "hashgrid": {"n_levels": 2, "log2_hashmap_size": 8}})
+    rays_o = jnp.tile(jnp.array([[0.0, 0.0, 3.0]]), (4, 1))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (4, 1))
+    out = r.render_rays(geo.state, rays_o, rays_d, rays_o, jnp.zeros(3))
+    assert out["comp_rgb"].shape == (4, 3)
+
+
+def test_construct_neus_volume_renderer():
+    r = ds.find("neus-volume-renderer")({
+        "num_samples_coarse": 8, "num_samples_fine": 8,
+        "geometry": {"n_neurons": 8,
+                     "hashgrid": {"n_levels": 2, "log2_hashmap_size": 8}},
+    })
+    geo = ds.find("implicit-sdf")({"n_neurons": 8,
+                                   "hashgrid": {"n_levels": 2, "log2_hashmap_size": 8}})
+    rays_o = jnp.tile(jnp.array([[0.0, 0.0, 3.0]]), (2, 1))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (2, 1))
+    out = r.render_rays(geo.state, rays_o, rays_d, jnp.zeros(3))
+    assert out["comp_rgb"].shape == (2, 3)
+
+
+def test_construct_mesh_exporter():
+    ex = ds.find("mesh-exporter")({})
+    # sphere SDF-ish density grid
+    n = 16
+    lin = np.linspace(-1, 1, n, dtype=np.float32)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    density = np.maximum(0.6 - np.sqrt(x**2 + y**2 + z**2), 0.0) * 10
+    mesh = ex(density)
+    assert len(mesh.v_pos) > 0 and len(mesh.t_pos_idx) > 0
+
+
+def test_construct_gaussian_mesh_exporter(tmp_path):
+    ex = ds.find("gaussian-mesh-exporter")({})
+    m = _tiny_mesh_dict()
+    ex(tmp_path / "out.obj", m["v_pos"], m["t_pos_idx"], v_rgb=m["v_rgb"])
+    assert (tmp_path / "out.obj").exists()
+
+
+def test_construct_gaussian_io(tmp_path):
+    io = ds.find("gaussian-splatting-io")({})
+    path = str(tmp_path / "g.ply")
+    io.save_ply(path, np.zeros((4, 3), np.float32),
+                np.zeros((4, 16, 3), np.float32),       # sh (DC first)
+                np.full((4,), 0.5, np.float32),          # opacity logits
+                np.full((4, 3), -2.0, np.float32),       # log scales
+                np.tile(np.array([1.0, 0, 0, 0], np.float32), (4, 1)))
+    data = io.load_ply(path)
+    assert data["xyz"].shape == (4, 3)
+
+
+def test_construct_perceptual_loss():
+    p = ds.find("perceptual-loss")({})
+    x = jnp.zeros((1, 32, 32, 3))
+    y = jnp.ones((1, 32, 32, 3)) * 0.5
+    loss = p(x, y)
+    assert loss.shape == (1,)
+    assert float(loss[0]) >= 0.0
+
+
+def test_construct_dummy_exporter():
+    ex = ds.find("dummy-exporter")({})
+    assert ex() == []
 
 
 def test_hybrid_rgb_latent_material():
