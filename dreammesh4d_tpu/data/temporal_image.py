@@ -39,8 +39,20 @@ class TemporalImageConfig:
     video_frames_dir: str = ""
     num_frames: int = 4  # frames sampled per train batch
     video_length: int = 32
-    height: int = 512
-    width: int = 512
+    # int or list (paired with resolution_milestones); with a scalar height the
+    # milestones are warned about and ignored, exactly like the reference
+    # (temporal_image.py:128-137 inherits image.py milestone semantics)
+    height: object = 512
+    width: object = 512
+    resolution_milestones: Tuple[int, ...] = ()
+    # declared in the reference config surface (temporal_image.py:45) but never
+    # consumed by any reference code path — accepted here for config parity;
+    # timestamps are always the normalized linspace(0,1,L+2)[1:-1]
+    norm_timestamp: bool = False
+    # per-frame {i:03d}_depth.png / {i:03d}_normal.png supervision
+    # (reference load_single_frame, temporal_image.py:215-250)
+    requires_depth: bool = False
+    requires_normal: bool = False
     default_elevation_deg: float = 5.0
     default_azimuth_deg: float = 0.0
     default_camera_distance: float = 3.8
@@ -86,24 +98,87 @@ class TemporalImageDataModule:
         self.random_sampler = (
             RandomCameraSampler(cfg.random_camera, seed) if cfg.use_random_camera else None
         )
-        self._frames = None
+        # milestone machinery (reference temporal_image.py:120-137 via image.py)
+        self.heights = list(cfg.height) if isinstance(cfg.height, (list, tuple)) else [cfg.height]
+        self.widths = list(cfg.width) if isinstance(cfg.width, (list, tuple)) else [cfg.width]
+        if len(self.heights) == 1 and cfg.resolution_milestones:
+            ds.warn("Ignoring resolution_milestones since height and width are not changing")
+            self.milestones = [-1]
+        else:
+            self.milestones = [-1] + list(cfg.resolution_milestones)[: len(self.heights) - 1]
+        self.height = int(self.heights[0])
+        self.width = int(self.widths[0])
+        self._pinned = False
+        self._frames_cache: dict = {}
         self._ref_cam = None
+
+    def update(self, step: int) -> None:
+        """Milestone resolution switch (reference update_step,
+        temporal_image.py:326-339): frames reload at the new size lazily via
+        the per-resolution cache."""
+        import bisect
+
+        if self._pinned:
+            return
+        i = bisect.bisect_right(self.milestones, step) - 1
+        self.height = int(self.heights[i])
+        self.width = int(self.widths[min(i, len(self.widths) - 1)])
+
+    def set_final_resolution(self) -> None:
+        """Pin the datamodule to the last milestone resolution.  The GS-stage
+        experiments bake video frames + raster shapes into ONE jitted step
+        (assembly.py), so they render at the final size for the whole run —
+        the same documented deviation as build_raster_config's list handling."""
+        self.height = int(self.heights[-1])
+        self.width = int(self.widths[-1])
+        self._pinned = True
 
     # ---------------- loading ----------------
     def load_frames(self):
-        if self._frames is not None:
-            return self._frames
+        key = (self.height, self.width)
+        if key in self._frames_cache:
+            return self._frames_cache[key]
         cfg = self.cfg
         paths = find_frame_paths(cfg.video_frames_dir, cfg.video_length)
         if not paths:
             raise FileNotFoundError(f"No frames found under {cfg.video_frames_dir}")
         rgbs, masks = [], []
         for p in paths:
-            rgb, mask = load_rgba(p, cfg.height, cfg.width)
+            rgb, mask = load_rgba(p, self.height, self.width)
             rgbs.append(rgb)
             masks.append(mask)
-        self._frames = (np.stack(rgbs), np.stack(masks))
-        return self._frames
+        self._frames_cache[key] = (np.stack(rgbs), np.stack(masks))
+        return self._frames_cache[key]
+
+    def _load_sidecar(self, suffix: str, loader):
+        """Per-frame sidecar maps ({i:03d}_depth.png / _normal.png), hard
+        error when missing (reference asserts, temporal_image.py:218,239)."""
+        paths = find_frame_paths(self.cfg.video_frames_dir, self.cfg.video_length)
+        out = []
+        for p in paths:
+            sp = p.replace("_rgba.png", f"_{suffix}.png")
+            if sp == p:  # {i}.png naming: append the suffix before .png
+                sp = p[:-4] + f"_{suffix}.png"
+            if not os.path.exists(sp):
+                raise FileNotFoundError(f"requires_{suffix} set but {sp} is missing")
+            out.append(loader(sp, self.height, self.width))
+        return np.stack(out)
+
+    def load_depths(self):
+        from .image import _load_gray
+
+        key = ("depth", self.height, self.width)
+        if key not in self._frames_cache:
+            self._frames_cache[key] = self._load_sidecar("depth", _load_gray)
+        return self._frames_cache[key]
+
+    def load_normals(self):
+        from .image import _load_rgb
+
+        key = ("normal", self.height, self.width)
+        if key not in self._frames_cache:
+            self._frames_cache[key] = self._load_sidecar("normal", _load_rgb)
+        return self._frames_cache[key]
 
     @property
     def video_length(self) -> int:
@@ -131,6 +206,7 @@ class TemporalImageDataModule:
     # ---------------- batches ----------------
     def train_batch(self, step: int = 0) -> dict:
         cfg = self.cfg
+        self.update(step)  # applies resolution milestones
         rgbs, masks = self.load_frames()
         L = len(rgbs)
         ts_all = frame_timestamps(L)
@@ -149,6 +225,10 @@ class TemporalImageDataModule:
             "ref_azimuth": jnp.full((T,), cfg.default_azimuth_deg, jnp.float32),
             "ref_distance": jnp.full((T,), cfg.default_camera_distance, jnp.float32),
         }
+        if cfg.requires_depth:
+            batch["ref_depth"] = self.load_depths()[idx]
+        if cfg.requires_normal:
+            batch["ref_normal"] = self.load_normals()[idx]
         if self.random_sampler is not None:
             self.random_sampler.update(step)
             rand = self.random_sampler.sample(batch_size=T)
@@ -165,8 +245,8 @@ class TemporalImageDataModule:
     def eval_batches(self, height=None, width=None):
         """5 fixed azimuths × all timestamps (one batch per azimuth)."""
         cfg = self.cfg
-        H = height or cfg.height
-        W = width or cfg.width
+        H = height or self.height
+        W = width or self.width
         L = self.video_length
         ts_all = frame_timestamps(L)
         fovy = math.radians(cfg.default_fovy_deg)

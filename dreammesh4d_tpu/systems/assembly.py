@@ -506,6 +506,11 @@ class Sugar4DGenExperiment:
         system = cfg.system
         self.saver = Saver(os.path.join(cfg.trial_dir, "save"))
         self.data = make_temporal_datamodule(cfg.data, cfg.seed)
+        # milestone (list) sizes: the video bank + raster shapes are baked into
+        # ONE jitted step, so train at the final milestone resolution — the
+        # same documented deviation as build_raster_config
+        if len(self.data.heights) > 1:
+            self.data.set_final_resolution()
         self.par = ParallelContext.from_trainer_cfg(dict(cfg.trainer or {}))
         if self.par.active:
             self.par.check_batch_size(self.data.cfg.num_frames,
@@ -616,6 +621,14 @@ class Sugar4DGenExperiment:
         ref_raster_cfg = build_raster_config(d.height, d.width, d.default_fovy_deg, system)
         frames_rgb_np, frames_mask_np = self.data.load_frames()
         self._video_frames = (jnp.asarray(frames_rgb_np), jnp.asarray(frames_mask_np))
+        from ..utils.schedule import C_max as _cmax
+
+        loss_d = dict(system.get("loss", {}))
+        video_depths = video_normals = None
+        if _cmax(loss_d.get("lambda_depth", 0)) > 0 or _cmax(loss_d.get("lambda_depth_rel", 0)) > 0:
+            video_depths = jnp.asarray(self.data.load_depths())
+        if _cmax(loss_d.get("lambda_normal", 0)) > 0:
+            video_normals = jnp.asarray(self.data.load_normals())
         grs = int(dict(system.get("guidance", {})).get("guidance_render_size", 0) or 0)
         if guidance_fn is None:
             grs = 0  # the rand views only feed SDS; keep data-size renders
@@ -630,6 +643,8 @@ class Sugar4DGenExperiment:
             ref_raster_cfg=ref_raster_cfg,
             video_frames=self._video_frames,
             rand_raster_cfg=rand_raster_cfg,
+            video_depths=video_depths,
+            video_normals=video_normals,
         )
         self._render_eval = make_dynamic_render_eval(
             sugar_params, self.static, deform_cfg, self.raster_cfg

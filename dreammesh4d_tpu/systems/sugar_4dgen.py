@@ -57,6 +57,11 @@ class Sugar4DGenLosses:
     lambda_sds_zero123: Any = 0.1
     lambda_rgb: Any = 5000.0
     lambda_mask: Any = field(default_factory=lambda: [200, 500.0, 5000.0, 1000])
+    # ref-view geometry supervision vs per-frame depth/normal maps
+    # (reference sugar_4dgen.py:181-211; zero by default like the shipped yaml)
+    lambda_depth: Any = 0.0
+    lambda_depth_rel: Any = 0.0
+    lambda_normal: Any = 0.0
     lambda_normal_consistency: Any = 100.0
     lambda_laplacian_smoothing: Any = 0.0
     lambda_arap_reg_key_frame: Any = 10.0
@@ -102,6 +107,8 @@ def make_dynamic_train_step(
     ref_raster_cfg: Optional[RasterizerConfig] = None,
     video_frames: Optional[tuple] = None,
     rand_raster_cfg: Optional[RasterizerConfig] = None,
+    video_depths: Optional[jnp.ndarray] = None,  # (L, H, W, 1) device-resident
+    video_normals: Optional[jnp.ndarray] = None,  # (L, H, W, 3)
 ):
     """Build the jitted dynamic train step.  ``batch`` layout:
 
@@ -132,10 +139,16 @@ def make_dynamic_train_step(
     def _static_zero(w):
         return isinstance(w, (int, float)) and float(w) == 0.0
 
-    # the ref substep's losses (rgb/mask + mesh-space regularizers) never read
-    # the rendered normal map; the rand substep needs it only for normal_tv —
-    # dropping the 3 normal channels shrinks the blend kernel's matmuls 7->4
+    # the ref substep's losses (rgb/mask + mesh-space regularizers) read the
+    # rendered normal map only under lambda_normal; the rand substep needs it
+    # only for normal_tv — dropping the 3 normal channels otherwise shrinks
+    # the blend kernel's matmuls 7->4
     rand_normals = not _static_zero(losses.lambda_normal_tv)
+    from ..utils.schedule import C_max
+
+    need_depth = C_max(losses.lambda_depth) > 0
+    need_depth_rel = C_max(losses.lambda_depth_rel) > 0
+    need_ref_normal = C_max(losses.lambda_normal) > 0
 
     def _timed_render(deform_params, cameras, timestamps, bg, cfg=None,
                       with_normals=True, frame_indices=None):
@@ -198,7 +211,8 @@ def make_dynamic_train_step(
         # timed_all subgraphs — an explicit merged 2T-view batch measured
         # SLOWER, 104 -> 123 ms: bigger live intermediates, worse fusion)
         ref_out, _, vert = _timed_render(deform_params, batch["ref_cameras"], ts,
-                                         bg_base, ref_cfg, with_normals=False,
+                                         bg_base, ref_cfg,
+                                         with_normals=need_ref_normal,
                                          frame_indices=fi)
         if video_frames is not None:
             gt_mask = video_frames[1][batch["frame_indices"]]
@@ -208,6 +222,32 @@ def make_dynamic_train_step(
             gt_rgb = batch["ref_rgb"] * gt_mask
         terms["rgb"] = ((gt_rgb - ref_out["comp_rgb"] * gt_mask) ** 2).mean()
         terms["mask"] = ((gt_mask - ref_out["comp_mask"]) ** 2).mean()
+
+        # ref-view geometry supervision vs per-frame depth/normal maps
+        # (reference sugar_4dgen.py:181-211): lstsq-aligned depth MSE,
+        # Pearson relative depth, masked normal cosine
+        if need_depth or need_depth_rel:
+            from .zero123_system import masked_lstsq_depth_loss, masked_pearson
+
+            gt_depth = (video_depths[batch["frame_indices"]]
+                        if video_depths is not None else batch["ref_depth"])
+            mflat = (gt_mask[..., 0] > 0.5).astype(jnp.float32)
+            if need_depth:
+                terms["depth"] = masked_lstsq_depth_loss(
+                    ref_out["comp_depth"][..., 0], gt_depth[..., 0], mflat)
+            if need_depth_rel:
+                terms["depth_rel"] = 1.0 - masked_pearson(
+                    ref_out["comp_depth"][..., 0], gt_depth[..., 0], mflat)
+        if need_ref_normal:
+            gt_normal = (video_normals[batch["frame_indices"]]
+                         if video_normals is not None else batch["ref_normal"])
+            gt_n = 1.0 - 2.0 * gt_normal  # reference flip (zero123.py:125)
+            pred_n = 2.0 * ref_out["comp_normal"] - 1.0
+            cos = (pred_n * gt_n).sum(-1) / (
+                jnp.linalg.norm(pred_n, axis=-1) * jnp.linalg.norm(gt_n, axis=-1) + 1e-8
+            )
+            m1 = (gt_mask[..., 0] > 0.5).astype(jnp.float32)
+            terms["normal"] = 1.0 - (cos * m1).sum() / jnp.maximum(m1.sum(), 1.0)
 
         terms["normal_consistency"] = normal_consistency_loss(
             vert.xyz, sg.faces, sg.edge_face_pairs
@@ -246,6 +286,9 @@ def make_dynamic_train_step(
             "sds_zero123": losses.lambda_sds_zero123,
             "rgb": losses.lambda_rgb,
             "mask": losses.lambda_mask,
+            "depth": losses.lambda_depth,
+            "depth_rel": losses.lambda_depth_rel,
+            "normal": losses.lambda_normal,
             "normal_consistency": losses.lambda_normal_consistency,
             "laplacian_smoothing": losses.lambda_laplacian_smoothing,
             "arap_reg_key_frame": losses.lambda_arap_reg_key_frame,
