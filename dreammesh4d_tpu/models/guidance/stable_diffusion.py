@@ -43,7 +43,7 @@ LATENT_SCALE = 0.18215
 # ---------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(frozen=True)  # hashable: rides jitted steps as static pytree aux
 class PromptProcessorConfig:
     prompt: str = "a high quality photo"
     negative_prompt: str = ""
@@ -64,7 +64,9 @@ class PromptProcessorConfig:
 class PromptEmbeddings:
     """text_embeddings (V, L, C) for [base, front, side, back, overhead] +
     uncond (L, C); ``get(elevation, azimuth)`` picks per-view rows
-    (prompt_processors/base.py view-dependent logic)."""
+    (prompt_processors/base.py view-dependent logic).  Registered as a pytree
+    (cond/uncond arrays; cfg static) so it can ride through jitted steps as
+    part of the guidance state."""
 
     def __init__(self, cond: jnp.ndarray, uncond: jnp.ndarray, cfg: PromptProcessorConfig):
         self.cond = cond  # (5, L, C)
@@ -83,6 +85,13 @@ class PromptEmbeddings:
         cond = self.cond[idx]  # (B, L, C)
         uncond = jnp.broadcast_to(self.uncond, cond.shape)
         return cond, uncond
+
+
+jax.tree_util.register_pytree_node(
+    PromptEmbeddings,
+    lambda p: ((p.cond, p.uncond), p.cfg),
+    lambda cfg, children: PromptEmbeddings(children[0], children[1], cfg),
+)
 
 
 def _hash_embedding(text: str, seq_len: int, dim: int) -> np.ndarray:
@@ -124,7 +133,13 @@ def _clip_spawn_func(pretrained_path: str, prompts, cache_dir: str,
 @ds.register("stable-diffusion-prompt-processor")
 @ds.register("deep-floyd-prompt-processor")
 class StableDiffusionPromptProcessor:
-    def __init__(self, cfg: PromptProcessorConfig | dict | None = None, text_params=None):
+    def __init__(self, cfg: PromptProcessorConfig | dict | None = None, text_params=None,
+                 encode_fn=None):
+        """``encode_fn(input_ids (B, L) int32) -> (B, L, C)``: when given (the
+        converted-LDM path — maybe_build_sd_guidance wires the checkpoint's
+        own text tower through StableDiffusionGuidance.encode_tokens), the
+        processor tokenizes with the local tokenizer files and embeds through
+        it instead of loading a separate FlaxCLIPTextModel directory."""
         if isinstance(cfg, dict):
             import dataclasses
 
@@ -132,6 +147,7 @@ class StableDiffusionPromptProcessor:
             cfg = PromptProcessorConfig(**{k: v for k, v in cfg.items() if k in names})
         self.cfg = cfg or PromptProcessorConfig()
         self.text_params = text_params
+        self.encode_fn = encode_fn
 
     def _cache_path(self, text: str) -> str:
         import os
@@ -162,6 +178,19 @@ class StableDiffusionPromptProcessor:
         todo = [p for p in prompts
                 if not (cfg.use_cache and os.path.exists(self._cache_path(p)))]
         if not todo:
+            return
+        if self.encode_fn is not None:
+            # converted-LDM text tower: tokenize locally, embed in-process
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(
+                str(cfg.pretrained_model_name_or_path))
+            for prompt in todo:
+                tokens = tokenizer(prompt, padding="max_length",
+                                   max_length=cfg.seq_len, truncation=True,
+                                   return_tensors="np")
+                emb = self.encode_fn(jnp.asarray(tokens["input_ids"]))[0]
+                np.save(self._cache_path(prompt), np.asarray(emb, np.float32))
             return
         args = (str(cfg.pretrained_model_name_or_path), todo, cfg.cache_dir,
                 cfg.seq_len)
@@ -229,6 +258,17 @@ class StableDiffusionConfig:
     context_dim: int = 768
     latent_size: int = 64
     image_size: int = 512
+    vae_ch: int = 128
+    vae_ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    vae_num_res_blocks: int = 2
+    # CLIP text tower (SD 1.x = CLIP ViT-L/14 text: 12 layers, width 768);
+    # converted from the checkpoint's cond_stage_model.transformer
+    use_text_encoder: bool = False
+    text_layers: int = 12
+    text_heads: int = 12
+    text_intermediate: int = 3072
+    vocab_size: int = 49408
+    max_position_embeddings: int = 77
     dtype: Any = jnp.float32
 
 
@@ -247,20 +287,55 @@ class StableDiffusionGuidance:
             channel_mult=c.channel_mult, num_res_blocks=c.num_res_blocks,
             num_heads=c.num_heads, dtype=c.dtype,
         )
-        self.vae = AutoencoderKL(embed_dim=4, dtype=c.dtype)
+        self.vae = AutoencoderKL(embed_dim=4, ch=c.vae_ch, ch_mult=tuple(c.vae_ch_mult),
+                                 num_res_blocks=c.vae_num_res_blocks, dtype=c.dtype)
         self.schedule = make_schedule(c.num_train_timesteps)
+
+    def text_encoder(self):
+        """FlaxCLIPTextModel matching the checkpoint's cond_stage_model
+        (FrozenCLIPEmbedder = transformers CLIPTextModel; SDS conditioning is
+        the LAST hidden state, not the pooled output)."""
+        from transformers import CLIPTextConfig, FlaxCLIPTextModel
+
+        c = self.cfg
+        tcfg = CLIPTextConfig(
+            vocab_size=c.vocab_size, hidden_size=c.context_dim,
+            intermediate_size=c.text_intermediate, num_hidden_layers=c.text_layers,
+            num_attention_heads=c.text_heads,
+            max_position_embeddings=c.max_position_embeddings,
+        )
+        return FlaxCLIPTextModel(tcfg, _do_init=False, dtype=self.cfg.dtype)
+
+    def encode_tokens(self, params: Dict[str, Any], input_ids: jnp.ndarray) -> jnp.ndarray:
+        """(B, L) token ids -> (B, L, context_dim) last-hidden-state text
+        embeddings using the converted text tower (params['text'])."""
+        model = self.text_encoder()
+        text = params["text"]
+        if "params" in text:
+            text = text["params"]
+        B, L = input_ids.shape
+        out = model.module.apply(
+            {"params": text}, input_ids=input_ids,
+            attention_mask=jnp.ones((B, L), jnp.int32),
+            position_ids=jnp.broadcast_to(jnp.arange(L)[None], (B, L)),
+        )
+        return out.last_hidden_state
 
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         c = self.cfg
-        k1, k2 = jax.random.split(rng)
+        k1, k2, k3 = jax.random.split(rng, 3)
         L, S = c.latent_size, c.image_size
-        return {
+        params = {
             "unet": self.unet.init(
                 k1, jnp.zeros((1, L, L, 4)), jnp.zeros((1,)),
                 jnp.zeros((1, 77, c.context_dim)),
             )["params"],
             "vae": self.vae.init(k2, jnp.zeros((1, S, S, 3)))["params"],
         }
+        if c.use_text_encoder:
+            params["text"] = self.text_encoder().init_weights(
+                k3, (1, c.max_position_embeddings))
+        return params
 
     def encode_images(self, params, rgb: jnp.ndarray) -> jnp.ndarray:
         S = self.cfg.image_size

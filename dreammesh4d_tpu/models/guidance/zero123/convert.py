@@ -308,6 +308,132 @@ def load_zero123_checkpoint(path: str, modules, strict: bool = False) -> Dict[st
     return params
 
 
+# ---------------------------------------------------------------------------
+# Stable Diffusion (text-conditioned LDM) layout
+# ---------------------------------------------------------------------------
+
+# SD 1.x checkpoints carry the CLIP text tower under
+# cond_stage_model.transformer.text_model.* (FrozenCLIPEmbedder wraps a
+# transformers CLIPTextModel); position_ids is a buffer, not a weight.
+SD_EXPECTED_SKIP = [
+    r"^betas$", r"^alphas_cumprod", r"^sqrt_", r"^log_one_minus_",
+    r"^posterior_", r"^logvar$", r"^model_ema\.",
+    r"\.position_ids$",
+    r"^cond_stage_model\.transformer\.text_model\.embeddings\.position_ids$",
+    r"^first_stage_model\.loss\.",
+]
+
+
+def convert_clip_text(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """transformers CLIPTextModel state dict (``text_model.*`` keys) ->
+    FlaxCLIPTextModel param tree.  Same per-layer shapes as the vision tower
+    but with separate q/k/v projections already (no fused in_proj) and
+    token + position embedding tables."""
+    t = _TrackedDict({k[len("text_model."):]: v for k, v in sd.items()
+                      if k.startswith("text_model.")})
+    if not t:
+        raise KeyError("No text_model.* keys in CLIP text state dict")
+    layers = {}
+    i = 0
+    while f"encoder.layers.{i}.layer_norm1.weight" in t:
+        p = f"encoder.layers.{i}"
+        layers[str(i)] = {
+            "layer_norm1": _norm(t, f"{p}.layer_norm1"),
+            "self_attn": {
+                "q_proj": _dense(t, f"{p}.self_attn.q_proj"),
+                "k_proj": _dense(t, f"{p}.self_attn.k_proj"),
+                "v_proj": _dense(t, f"{p}.self_attn.v_proj"),
+                "out_proj": _dense(t, f"{p}.self_attn.out_proj"),
+            },
+            "layer_norm2": _norm(t, f"{p}.layer_norm2"),
+            "mlp": {
+                "fc1": _dense(t, f"{p}.mlp.fc1"),
+                "fc2": _dense(t, f"{p}.mlp.fc2"),
+            },
+        }
+        i += 1
+    params = {
+        "text_model": {
+            "embeddings": {
+                "token_embedding": {"embedding": _t(t["embeddings.token_embedding.weight"])},
+                "position_embedding": {"embedding": _t(t["embeddings.position_embedding.weight"])},
+            },
+            "encoder": {"layers": layers},
+            "final_layer_norm": _norm(t, "final_layer_norm"),
+        }
+    }
+    if isinstance(sd, _TrackedDict):
+        sd.consumed |= {f"text_model.{k}" for k in t.consumed}
+    return params
+
+
+def convert_sd_state_dict(sd: Dict[str, Any], guidance) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Numpy state dict (Stable Diffusion 1.x LDM layout) -> (flax params,
+    report).  Same UNet/VAE family as Zero123 (in_channels=4, text
+    cross-attention; reference stable_diffusion_guidance.py:59-95 loads the
+    same weights via diffusers from_pretrained) plus the CLIP text tower.
+    ``guidance`` is a StableDiffusionGuidance (architecture dims from its
+    cfg)."""
+    cfg = guidance.cfg
+
+    unet_sd = _TrackedDict({k[len("model.diffusion_model."):]: v
+                            for k, v in sd.items()
+                            if k.startswith("model.diffusion_model.")})
+    vae_sd = _TrackedDict({k[len("first_stage_model."):]: v for k, v in sd.items()
+                           if k.startswith("first_stage_model.")})
+
+    params: Dict[str, Any] = {
+        "unet": convert_unet(unet_sd, channel_mult=tuple(cfg.channel_mult),
+                             num_res_blocks=cfg.num_res_blocks),
+        "vae": convert_vae(vae_sd, ch_mult=tuple(getattr(cfg, "vae_ch_mult", (1, 2, 4, 4))),
+                           num_res_blocks=int(getattr(cfg, "vae_num_res_blocks", 2))),
+    }
+    consumed = {f"model.diffusion_model.{k}" for k in unet_sd.consumed}
+    consumed |= {f"first_stage_model.{k}" for k in vae_sd.consumed}
+
+    text_prefix = "cond_stage_model.transformer."
+    text_sd = _TrackedDict({k[len(text_prefix):]: v for k, v in sd.items()
+                            if k.startswith(text_prefix)})
+    if any(k.startswith("text_model.") for k in text_sd):
+        params["text"] = convert_clip_text(text_sd)
+        consumed |= {f"{text_prefix}{k}" for k in text_sd.consumed}
+
+    skipped, unmapped = [], []
+    skip_re = [re.compile(p) for p in SD_EXPECTED_SKIP]
+    for k in sd:
+        if k in consumed:
+            continue
+        (skipped if any(r.search(k) for r in skip_re) else unmapped).append(k)
+    report = {"consumed": sorted(consumed), "skipped": sorted(skipped),
+              "unmapped": sorted(unmapped)}
+    return params, report
+
+
+def load_sd_checkpoint(path: str, guidance, strict: bool = False) -> Dict[str, Any]:
+    """Load a torch Stable Diffusion 1.x ``.ckpt`` (LDM layout) and convert
+    UNet + VAE + CLIP text tower; or restore a converted orbax cache directory
+    written by scripts/convert_sd_ckpt.py (zero torch imports)."""
+    import os
+
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "manifest.json")):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(os.path.join(path, "params")))
+
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    params, report = convert_sd_state_dict(sd, guidance)
+    if strict and report["unmapped"]:
+        raise KeyError(
+            "Checkpoint keys not mapped by the SD converter (layout mismatch?):\n  "
+            + "\n  ".join(report["unmapped"]))
+    return params
+
+
 def convert_clip_vision(sd: Dict[str, Any], modules) -> Dict[str, Any]:
     """OpenAI-CLIP visual tower -> transformers FlaxCLIPVisionModel params.
 

@@ -7,11 +7,13 @@ image-condition-dreamfusion) becomes runnable through
 ``python launch.py --config configs/<x>.yaml --train`` with the same YAML
 surface as the reference configs.
 
-Guidance weights: text systems use the flax Stable Diffusion stack when
-``system.guidance.pretrained_model_name_or_path`` exists on disk; otherwise
-SDS is disabled with a warning and training proceeds on the regularizer /
-reconstruction losses (keeps every config runnable in CI and on air-gapped
-machines — the reference would crash).
+Guidance weights: text systems load real SD 1.x LDM checkpoints through
+``models/guidance/zero123/convert.load_sd_checkpoint`` (UNet + VAE + CLIP
+text tower), with the same hard-error path semantics as the Zero123 stages —
+a missing checkpoint raises; ``random[:seed]`` is the explicit smoke-run
+sentinel and ``none`` / ``guidance.allow_missing=true`` the explicit opt-out
+(the reference crashes on bad paths,
+threestudio/models/guidance/stable_diffusion_guidance.py:59-95).
 """
 
 from __future__ import annotations
@@ -72,13 +74,36 @@ def _build_optimizer(system: dict):
                       eps=float(opt_args.get("eps", 1e-8)))
 
 
-def maybe_build_sd_guidance(system: dict):
-    """(guidance, params, prompts) when SD weights are on disk, else None."""
+def maybe_build_sd_guidance(system: dict, guidance_cls=None, config_cls=None):
+    """(guidance, params, prompts) or None when SDS guidance is off.
+
+    ``pretrained_model_name_or_path`` semantics mirror the Zero123 path
+    (assembly.maybe_build_guidance; the reference loads SD weights
+    unconditionally via diffusers from_pretrained and crashes on a bad path,
+    threestudio/models/guidance/stable_diffusion_guidance.py:59-95):
+
+    - ``""`` / ``none`` — guidance explicitly off.
+    - ``random[:seed]`` — random weights (SDS smoke path; scores meaningless).
+    - any other path — a torch SD 1.x LDM ``.ckpt`` or a converted orbax
+      cache dir (scripts/convert_sd_ckpt.py); must exist, else
+      FileNotFoundError unless ``guidance.allow_missing: true``."""
     gcfg = dict(system.get("guidance", {}))
-    path = str(gcfg.get("pretrained_model_name_or_path", ""))
-    if not path or not os.path.exists(path):
-        ds.warn("SD checkpoint not found (%r) — text SDS disabled.", path)
+    path = str(gcfg.get("pretrained_model_name_or_path", "") or "")
+    is_random = path == "random" or path.startswith("random:")
+    if not path or path.lower() == "none":
         return None
+    if not is_random and not os.path.exists(path):
+        if gcfg.get("allow_missing", False):
+            ds.warn("SD checkpoint not found (%r) — text SDS disabled "
+                    "(guidance.allow_missing=true).", path)
+            return None
+        raise FileNotFoundError(
+            f"SD guidance checkpoint not found: {path!r}. Set "
+            "system.guidance.pretrained_model_name_or_path to a real "
+            "checkpoint (torch .ckpt or convert_sd_ckpt.py cache), "
+            "'random[:seed]' for an SDS smoke run, or 'none' / "
+            "system.guidance.allow_missing=true to train without text SDS."
+        )
     from ..models.guidance.stable_diffusion import (
         PromptProcessorConfig,
         StableDiffusionConfig,
@@ -86,11 +111,22 @@ def maybe_build_sd_guidance(system: dict):
         StableDiffusionPromptProcessor,
     )
 
-    guidance = StableDiffusionGuidance(_filtered_dataclass(StableDiffusionConfig, gcfg))
-    params = guidance.init_params(jax.random.PRNGKey(0))  # TODO real converter
+    guidance_cls = guidance_cls or StableDiffusionGuidance
+    config_cls = config_cls or StableDiffusionConfig
+    guidance = guidance_cls(_filtered_dataclass(config_cls, gcfg))
+    if is_random:
+        seed = int(path.partition(":")[2] or 0)
+        params = guidance.init_params(jax.random.PRNGKey(seed))
+    else:
+        from ..models.guidance.zero123.convert import load_sd_checkpoint
+
+        params = load_sd_checkpoint(path, guidance)
     pp_cfg = _filtered_dataclass(PromptProcessorConfig,
                                  dict(system.get("prompt_processor", {})))
-    prompts = StableDiffusionPromptProcessor(pp_cfg)()
+    encode_fn = None
+    if "text" in params:
+        encode_fn = lambda ids: guidance.encode_tokens(params, ids)  # noqa: E731
+    prompts = StableDiffusionPromptProcessor(pp_cfg, encode_fn=encode_fn)()
     return guidance, params, prompts
 
 
@@ -274,24 +310,15 @@ class ZooVSDExperiment(_ZooNeRFBase):
         self.sampler = RandomCameraSampler(
             make_random_camera_config(dict(cfg.data or {})), seed=cfg.seed)
 
-        pack = None
-        gcfg = dict(system.get("guidance", {}))
-        path = str(gcfg.get("pretrained_model_name_or_path", ""))
-        if path and os.path.exists(path):
-            from ..models.guidance.vsd import VSDConfig, VSDGuidance
-            from ..models.guidance.stable_diffusion import (
-                PromptProcessorConfig,
-                StableDiffusionPromptProcessor,
-            )
+        from ..models.guidance.vsd import VSDConfig, VSDGuidance
 
-            guidance = VSDGuidance(_filtered_dataclass(VSDConfig, gcfg))
-            gparams = guidance.init_params(jax.random.PRNGKey(0))
-            lora0 = guidance.init_lora_params(jax.random.PRNGKey(1), gparams["unet"])
-            prompts = StableDiffusionPromptProcessor(_filtered_dataclass(
-                PromptProcessorConfig, dict(system.get("prompt_processor", {}))))()
-            pack = (guidance, gparams, prompts)
+        pack = maybe_build_sd_guidance(system, VSDGuidance, VSDConfig)
+        if pack is not None:
+            # the LoRA phi model always trains from scratch (delta starts at
+            # zero, so phi == pretrained at step 0) — random init is correct
+            # here even with converted base weights
+            lora0 = pack[0].init_lora_params(jax.random.PRNGKey(1), pack[1]["unet"])
         else:
-            ds.warn("SD checkpoint not found (%r) — VSD disabled.", path)
             lora0 = {"unused": jnp.zeros((1,))}
         self._gstate = None if pack is None else {"params": pack[1], "prompts": pack[2]}
 

@@ -185,3 +185,88 @@ TINY_GUIDANCE_OVERRIDES = [
     "system.guidance.latent_size=16",
     "system.guidance.use_clip=false",
 ]
+
+
+def make_tiny_clip_text(context_dim=16, layers=2, heads=2, intermediate=32,
+                        vocab_size=1000, max_pos=77, seed=0):
+    """Tiny torch transformers CLIPTextModel (the module FrozenCLIPEmbedder
+    wraps, extern/ldm_zero123/modules/encoders/modules.py:235-255) — the
+    conversion oracle for convert_clip_text."""
+    import torch
+    from transformers import CLIPTextConfig, CLIPTextModel
+
+    cfg = CLIPTextConfig(
+        vocab_size=vocab_size, hidden_size=context_dim,
+        intermediate_size=intermediate, num_hidden_layers=layers,
+        num_attention_heads=heads, max_position_embeddings=max_pos,
+    )
+    torch.manual_seed(seed)
+    return CLIPTextModel(cfg).eval()
+
+
+def make_tiny_sd_checkpoint(path, ldm, context_dim=16, seed=0, clip_text=None):
+    """Write a torch ``.ckpt`` in the Stable Diffusion 1.x state-dict layout
+    (model.diffusion_model.* in_channels=4 / first_stage_model.* /
+    cond_stage_model.transformer.text_model.*) from freshly-initialized
+    reference modules.  Returns (torch unet, vae modules, torch text model)."""
+    import torch
+
+    openaimodel, ldm_vae = ldm
+    torch.manual_seed(seed)
+    tm = openaimodel.UNetModel(
+        image_size=32, in_channels=4, out_channels=4, model_channels=32,
+        num_res_blocks=1, attention_resolutions=(4, 2, 1), channel_mult=(1, 2),
+        num_heads=4, use_spatial_transformer=True, context_dim=context_dim,
+        legacy=False,
+    ).eval()
+    te = ldm_vae.Encoder(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                         attn_resolutions=[], dropout=0.0, in_channels=3,
+                         resolution=64, z_channels=4, double_z=True).eval()
+    td = ldm_vae.Decoder(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                         attn_resolutions=[], dropout=0.0, in_channels=3,
+                         resolution=64, z_channels=4).eval()
+    tq, tpq = torch.nn.Conv2d(8, 8, 1), torch.nn.Conv2d(4, 4, 1)
+
+    sd = {}
+    for prefix, mod in (("model.diffusion_model", tm),
+                        ("first_stage_model.encoder", te),
+                        ("first_stage_model.decoder", td),
+                        ("first_stage_model.quant_conv", tq),
+                        ("first_stage_model.post_quant_conv", tpq)):
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    if clip_text is not None:
+        # SD 1.x stores the text tower under cond_stage_model.transformer
+        # (FrozenCLIPEmbedder's ``self.transformer`` = CLIPTextModel)
+        for k, v in clip_text.state_dict().items():
+            sd[f"cond_stage_model.transformer.{k}"] = v
+        # buffers the real ckpt carries that the converter must classify as
+        # expected-skip, not unmapped
+        import numpy as _np
+
+        sd["cond_stage_model.transformer.text_model.embeddings.position_ids"] = (
+            torch.from_numpy(_np.arange(77, dtype=_np.int64)[None]))
+    sd["betas"] = torch.linspace(1e-4, 2e-2, 8)
+    sd["alphas_cumprod"] = torch.cumprod(1 - sd["betas"], 0)
+    torch.save({"state_dict": sd}, path)
+    return tm, (te, td, tq, tpq), clip_text
+
+
+# dotlist overrides matching make_tiny_sd_checkpoint's architecture
+TINY_SD_GUIDANCE_OVERRIDES = [
+    "system.guidance.model_channels=32",
+    "system.guidance.channel_mult=[1,2]",
+    "system.guidance.num_res_blocks=1",
+    "system.guidance.num_heads=4",
+    "system.guidance.context_dim=16",
+    "system.guidance.vae_ch=32",
+    "system.guidance.vae_ch_mult=[1,2]",
+    "system.guidance.vae_num_res_blocks=1",
+    "system.guidance.image_size=32",
+    "system.guidance.latent_size=16",
+    "system.guidance.text_layers=2",
+    "system.guidance.text_heads=2",
+    "system.guidance.text_intermediate=32",
+    "system.guidance.vocab_size=1000",
+    "system.prompt_processor.context_dim=16",
+]

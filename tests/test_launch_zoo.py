@@ -13,6 +13,8 @@ TINY_TEXT = [
     "data.width=16", "data.height=16", "data.batch_size=1",
     "system.geometry.pos_encoding_config.n_levels=4",
     "system.geometry.pos_encoding_config.log2_hashmap_size=8",
+    # SDS explicitly off (a missing checkpoint path is now a hard error)
+    "system.guidance.pretrained_model_name_or_path=none",
     "trainer.max_steps=2", "trainer.val_check_interval=100",
     "use_timestamp=false",
 ]
@@ -81,9 +83,12 @@ def test_image_zoo_config_launches(config, tmp_path):
         "system.geometry.pos_encoding_config.n_levels=4",
         "system.geometry.pos_encoding_config.log2_hashmap_size=8",
         "system.prompt_processor.prompt=a test object",
+        "system.guidance.pretrained_model_name_or_path=none",
         "trainer.max_steps=2", "trainer.val_check_interval=100",
         "use_timestamp=false",
     ]
+    if "magic123" in config:
+        extras.append("system.guidance_3d.pretrained_model_name_or_path=none")
     _launch(os.path.join(REPO, config), extras,
             tmp_path, os.path.basename(config).split(".")[0])
 
