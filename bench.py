@@ -7,7 +7,10 @@ Workload: 100k mesh-bound-scale Gaussians, 512² render, forward + full
 backward (grads w.r.t. means/scales/quats/colors/opacity) — comparable to the
 diff-gaussian-rasterization fwd+bwd the reference drives per training view.
 ``vs_baseline`` is the ratio against a 250 fps A100 estimate for the CUDA
-rasterizer on the same workload (the repo publishes no number; BASELINE.md).
+rasterizer on this workload — the conservative end of the 200-650 fps range
+derived from the published 3DGS training throughput (Kerbl et al. 2023,
+30k iters in ~41 min at 1.2-1.6MP/2-5M gaussians) scaled to 100k/512²; see
+BASELINE.md "A100 rasterizer-fps denominator" for the arithmetic.
 """
 
 import json
