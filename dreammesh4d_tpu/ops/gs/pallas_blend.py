@@ -97,7 +97,13 @@ def _grad_sums(d_power, dx, dy, rows):
 def _group_geometry(rows, px, py, g0, count):
     """Shared fwd/bwd per-group math.  rows: (GROUP, ROW).
     Returns (alpha, power, dx, dy, live, clamped) each (GROUP, P)-shaped
-    (live/clamped boolean)."""
+    (live/clamped boolean).
+
+    All f32: a bf16 exp+mask variant was tried (targeting VPU element
+    throughput) and rejected — Mosaic on v5e rejects bf16 comparisons
+    ("Target does not support this comparison"), and with masks kept in f32
+    the remaining bf16 exp measured no fps change on bench.py (the group loop
+    is bound by the csum matmuls + row reads, not the exp chain)."""
     mx = rows[:, 0:1]
     my = rows[:, 1:2]
     ca = rows[:, 2:3]
@@ -107,10 +113,10 @@ def _group_geometry(rows, px, py, g0, count):
     dx = mx - px  # (GROUP, P)
     dy = my - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], 1), 0) + g0) < count
     raw = op * jnp.exp(power)
     clamped = raw > ALPHA_MAX
     alpha0 = jnp.minimum(ALPHA_MAX, raw)
-    valid = (jax.lax.broadcasted_iota(jnp.int32, (rows.shape[0], 1), 0) + g0) < count
     # power >= -4.5 = the 3σ Mahalanobis cutoff defining the binning radius
     # (projection.py:116) applied per-pixel — makes the composite independent
     # of binning tile granularity (see blend.py chunk_step).
@@ -174,12 +180,23 @@ def _exclusive_transmittance(alpha, trans, tri=None):
     deriving it from the bf16 csum's last row compounds 2⁻⁸ rounding into
     the carry multiplicatively across groups (measured: gradient parity vs
     XLA breaks)."""
+    E, tof = _transmittance_parts(alpha, tri)
+    return trans * E, trans * tof
+
+
+def _transmittance_parts(alpha, tri=None):
+    """Trans-factored transmittance: returns (E, tof) with
+    T_excl = trans·E and trans_out = trans·tof — lets the forward keep the
+    (1,P) running transmittance OUT of the (G,P) work (it scales the (C,P)
+    dot output instead)."""
     G = alpha.shape[0]
     l = jnp.log1p(-alpha)  # (G, P), <= 0
     csum = _matmul_bf16(tri if tri is not None else _tri_strict(G), l)
-    t_excl = trans * jnp.exp(csum)
-    t_out = trans * jnp.exp(jnp.sum(l, axis=0, keepdims=True))
-    return t_excl, t_out
+    E = jnp.exp(csum)
+    # exact-f32 SUM for the group-exit carry: it compounds multiplicatively
+    # across groups, so only the element values may round, never the sum
+    tof = jnp.exp(jnp.sum(l, axis=0, keepdims=True, dtype=jnp.float32))
+    return E, tof
 
 
 def _fwd_kernel(n_channels: int, group: int, mm_bf16: bool, counts_ref, tiles_x_ref, data_ref, out_ref):

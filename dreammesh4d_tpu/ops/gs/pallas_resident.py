@@ -43,6 +43,7 @@ from .pallas_blend import (
     _matmul_bf16,
     _pack_rows,
     _pixel_grid,
+    _transmittance_parts,
     _tri_incl,
     _tri_strict,
 )
@@ -148,11 +149,13 @@ def _fwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
             # the VMEM-resident table entirely)
             rows_out_ref[0, pl.ds(g0, group), :] = rows
         alpha, _, _, _, _, _ = _group_geometry(rows, px, py, g0, count)
-        t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
-        w = alpha * t_excl
         cols = rows[:, 5:5 + C]
-        acc = acc + _dot(cols, w, ((0,), (0,)), mm_bf16)
-        return g + 1, t_out, acc
+        # trans-factored: the (1,P) carry scales the (C,P) dot output instead
+        # of a (G,P) broadcast mul (see _transmittance_parts)
+        E, tof = _transmittance_parts(alpha, tri_s)
+        w = alpha * E
+        acc = acc + trans * _dot(cols, w, ((0,), (0,)), mm_bf16)
+        return g + 1, trans * tof, acc
 
     def cond(carry):
         g, trans, _ = carry
@@ -192,7 +195,8 @@ def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
         g, trans, gdot_cpre = carry
         g0 = g * group
         rows = _read_group_rows(table_ref, idx_smem, slot_base, g0, group)
-        alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
+        alpha, power, dx, dy, live, clamped = _group_geometry(
+            rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl
         cols = rows[:, 5:5 + C]
@@ -287,7 +291,8 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
             rows = pairrows_ref[0, pl.ds(g0, group), :]
         else:
             rows = _read_group_rows(table_ref, idx_smem, slot_base, g0, group)
-        alpha, power, dx, dy, live, clamped = _group_geometry(rows, px, py, g0, count)
+        alpha, power, dx, dy, live, clamped = _group_geometry(
+            rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
         w = alpha * t_excl
         cols = rows[:, 5:5 + C]
@@ -308,9 +313,17 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
         grad_rows = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_col, pad, d_op, tail], axis=1
         )
+        # RMW as batched gather -> one vector add -> batched scatter: the
+        # interleaved read-add-write per row chains 128 RMWs the compiler
+        # must serialize (it cannot prove idx_j != idx_{j+1}); split phases
+        # let the indexed reads/writes pipeline.  Safe because pair indices
+        # within a tile are DISTINCT except the padding sentinel row N,
+        # whose grad_rows are exactly zero (live mask) — duplicate
+        # last-write-wins of cur+0 is the same as accumulation.
+        cur = _read_group_rows(grads_ref, idx_smem, slot_base, g0, group)
+        new_rows = cur + grad_rows
         for j in range(group):
-            idx = idx_smem[slot_base + g0 + j]
-            grads_ref[idx, :] = grads_ref[idx, :] + grad_rows[j, :]
+            grads_ref[idx_smem[slot_base + g0 + j], :] = new_rows[j, :]
         return g + 1, t_out, prefix[group - 1:group, :]
 
     def cond(carry):
@@ -467,10 +480,21 @@ def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, mm_bf16,
         d_colors = acc[:, 5:5 + C]
         d_opac = acc[:, OP_COL]
     else:
-        d_means2d = acc[:N, 0:2]
-        d_conics = acc[:N, 2:5]
-        d_colors = acc[:N, 5:5 + C]
-        d_opac = acc[:N, OP_COL]
+        # transpose the table on the MXU before slicing: extracting K
+        # columns straight from the lane-padded (N+1, 16) table is a
+        # ~1 elem/cycle strided kLoop fusion (871k cycles profiled =
+        # ~0.5 ms/step); as a dot with a 16x16 identity the padded table
+        # is read ONCE and every gradient column becomes a contiguous
+        # (1, N) row slice of the dense (ROW, N+1) product.  The barrier
+        # keeps the simplifier from folding dot(eye, x) back into the
+        # transpose relayout this replaces (measured slower, PERF.md).
+        eye = jax.lax.optimization_barrier(jnp.eye(ROW, dtype=jnp.float32))
+        accT = jax.lax.dot_general(eye, acc, (((0,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        d_means2d = accT[0:2, :N].T
+        d_conics = accT[2:5, :N].T
+        d_colors = accT[5:5 + C, :N].T
+        d_opac = accT[OP_COL, :N]
     return None, None, d_means2d, (d_conics, d_colors), d_opac
 
 
