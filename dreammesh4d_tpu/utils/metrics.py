@@ -1,10 +1,20 @@
-"""Evaluation metrics: PSNR + SSIM (+ LPIPS via utils/perceptual).
+"""Evaluation metrics: PSNR + SSIM + LPIPS + CLIP similarity.
 
 Parity with the reference evaluator stack
 (extern/ldm_zero123/modules/evaluate + torchmetrics use in threestudio
-validation): plain-jnp implementations, jit/vmap-friendly, NHWC in [0, 1]."""
+validation) and the paper protocol (arXiv 2410.06756 reports LPIPS and CLIP
+similarity — the BASELINE.json north-star currency): plain-jnp
+implementations, jit/vmap-friendly, NHWC in [0, 1].
+
+LPIPS rides utils/perceptual (converted torchvision VGG16 + LPIPS lins via
+scripts/convert_perceptual_ckpt.py; deterministic random features as the
+zero-egress fallback — valid for RELATIVE comparisons only).  CLIP
+similarity rides the proven CLIP vision tower conversion
+(models/guidance/zero123/convert.convert_clip_vision)."""
 
 from __future__ import annotations
+
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -54,3 +64,75 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0,
     num = (2 * mu_xy + c1) * (2 * sig_xy + c2)
     den = (mu_x2 + mu_y2 + c1) * (sig_x + sig_y + c2)
     return (num / den).mean((1, 2, 3))
+
+
+class LPIPSMetric:
+    """LPIPS distance with explicit weight provenance.
+
+    ``weights_path``: an orbax cache written by
+    scripts/convert_perceptual_ckpt.py (real torchvision VGG16 + LPIPS lin
+    heads).  Without one, deterministic random VGG features are used and
+    ``self.converted`` is False — callers should label such numbers
+    "relative" (they rank renders consistently but are not comparable to
+    published LPIPS)."""
+
+    def __init__(self, weights_path: str | None = None, seed: int = 0):
+        from .perceptual import init_perceptual, load_perceptual, perceptual_loss
+
+        if weights_path:
+            self.params = load_perceptual(weights_path)
+            self.converted = True
+        else:
+            self.params = init_perceptual(jax.random.PRNGKey(seed))
+            self.converted = False
+        self._fn = jax.jit(perceptual_loss)
+
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """(B,H,W,3) or (H,W,3) in [0,1] -> (B,) LPIPS distances."""
+        if pred.ndim == 3:
+            pred, target = pred[None], target[None]
+        return self._fn(self.params, pred, target)
+
+
+class CLIPSimilarityMetric:
+    """Cosine similarity of CLIP image embeddings (the paper's CLIP metric).
+
+    ``params``: {"vision": ..., "projection": ...} — the ``clip`` subtree of
+    a converted Zero123 cache (scripts/convert_zero123_ckpt.py; conversion
+    proven by tests/test_clip_parity.py) or any convert_clip_vision output.
+    ``zero123_cache_path`` restores that subtree directly.  Without either,
+    random ViT weights are used (``self.converted`` False — relative only)."""
+
+    def __init__(self, params: Dict[str, Any] | None = None,
+                 zero123_cache_path: str | None = None,
+                 config=None, seed: int = 0):
+        from ..models.guidance.zero123.clip import CLIPImageEncoder
+
+        self.encoder = CLIPImageEncoder(config=config)
+        self.converted = params is not None or zero123_cache_path is not None
+        if params is None and zero123_cache_path is not None:
+            import os
+
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            restored = ckptr.restore(os.path.abspath(
+                os.path.join(zero123_cache_path, "params")))
+            if "clip" not in restored:
+                raise KeyError(
+                    f"{zero123_cache_path!r} carries no converted CLIP tower "
+                    "(cache written with use_clip=false?)")
+            params = restored["clip"]
+        self.params = params if params is not None else self.encoder.init(
+            jax.random.PRNGKey(seed))
+        self._embed = jax.jit(self.encoder.embed)
+
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """(B,H,W,3) or (H,W,3) in [0,1] -> (B,) cosine similarities."""
+        if pred.ndim == 3:
+            pred, target = pred[None], target[None]
+        a = self._embed(self.params, pred)
+        b = self._embed(self.params, target)
+        a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+        b = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+        return (a * b).sum(-1)

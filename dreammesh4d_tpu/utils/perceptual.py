@@ -89,7 +89,13 @@ def perceptual_loss(params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 def load_torch_weights(vgg_state: Dict[str, Any], lpips_state: Dict[str, Any] | None = None) -> Dict[str, Any]:
     """Convert torchvision ``vgg16().features.state_dict()`` (+ optional
-    LPIPS ``lin{k}.model.1.weight``) into the param pytree above."""
+    LPIPS ``lin{k}.model.1.weight``) into the param pytree above.
+
+    Accepts either bare feature-layer keys (``0.weight``) or the full-model
+    prefix (``features.0.weight`` — what ``vgg16().state_dict()`` carries)."""
+    if any(k.startswith("features.") for k in vgg_state):
+        vgg_state = {k[len("features."):]: v for k, v in vgg_state.items()
+                     if k.startswith("features.")}
     params: Dict[str, Any] = {"stages": [], "lins": []}
     # torchvision features indices of convs per stage
     conv_ids = [[0, 2], [5, 7], [10, 12, 14], [17, 19, 21], [24, 26, 28]]
@@ -107,3 +113,27 @@ def load_torch_weights(vgg_state: Dict[str, Any], lpips_state: Dict[str, Any] | 
             lw = np.full((c_out,), 1.0 / c_out, np.float32)
         params["lins"].append(jnp.asarray(lw))
     return params
+
+
+def save_perceptual(path: str, params: Dict[str, Any]) -> None:
+    """Persist converted LPIPS params as an orbax cache directory
+    (scripts/convert_perceptual_ckpt.py writes these; ``load_perceptual``
+    restores them with zero torch imports)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    os.makedirs(path, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(os.path.join(path, "params")), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_perceptual(path: str) -> Dict[str, Any]:
+    """Restore a converted LPIPS cache directory (torch-free)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(os.path.join(path, "params")))
