@@ -1,0 +1,238 @@
+"""Full-pipeline wall-clock at reference sizes (the BASELINE.json north star).
+
+Runs the ACTUAL README recipe end-to-end through launch.py on the session
+accelerator, timing every stage:
+
+  1. static NeRF (configs/stable-zero123.yaml): 600 steps, resolution
+     milestones 128/256/512, rand-cam batch 8/4/2 @64/128/256², full-size
+     Zero123 SDS (random-init 859M UNet = identical compute to converted
+     weights)
+  2. coarse OBJ export (marching isosurface @256)
+  3. mesh simplification (QEM to 5000 faces)
+  4. SuGaR static refine (configs/sugar_static_refine.yaml): 2000 steps
+     @512², SDS @256
+  5. dynamic stage (configs/sugar_dynamic_dg.yaml): 2000 steps @512², 32-frame
+     video, 4 frames/step, temporal SDS @256
+  6. 4D export: 32 per-timestamp OBJs sharing one 1024² baked texture
+
+Input assets are procedural (utils/procedural animated icosphere rendered by
+the repo's own mesh rasterizer at 512²) — same pixel/step counts as a real
+video, no external data needed.  Writes PIPELINE.json beside the BENCH
+artifacts: per-stage seconds + ms/step + total minutes.
+
+Usage: python scripts/bench_full_pipeline.py [--cpu] [--tiny]
+  --tiny: smoke-check the chain at toy sizes/steps (CI; no timing value)
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+class Args:
+    train = validate = test = export = False
+    typecheck = False
+    platform = "auto"
+    gpu = "0"
+    config = ""
+
+
+def _args(config, platform, **flags):
+    a = Args()
+    a.config = os.path.join(REPO, "configs", config)
+    a.platform = platform
+    for k, v in flags.items():
+        setattr(a, k, v)
+    return a
+
+
+def make_assets(root, L=32, H=512, W=512):
+    """Reference image + 32-frame RGBA video of the procedurally animated
+    icosphere (rest pose exactly at frame 0), rendered at the stage configs'
+    reference camera."""
+    import imageio.v2 as imageio
+    import numpy as np
+
+    from dreammesh4d_tpu.data.temporal_image import frame_timestamps
+    from dreammesh4d_tpu.utils.procedural import (
+        deform_recovery,
+        make_icosphere,
+        render_vertex_color_view,
+    )
+
+    mesh = make_icosphere(4, radius=0.6)
+    rest, faces, colors = mesh.v_pos, mesh.t_pos_idx, mesh.v_rgb
+    frames_dir = os.path.join(root, "frames")
+    os.makedirs(frames_dir, exist_ok=True)
+    ts = frame_timestamps(L)
+    for i, t in enumerate(ts):
+        phase = (float(t) * (L + 1) - 1.0) / L
+        verts = deform_recovery(rest, phase)
+        rgb, mask = render_vertex_color_view(verts, faces, colors, 5.0, 0.0,
+                                             3.8, 20.0, H, W)
+        rgba = np.concatenate([rgb, mask], -1)
+        imageio.imwrite(os.path.join(frames_dir, f"{i:03d}_rgba.png"),
+                        (np.clip(rgba, 0, 1) * 255).astype(np.uint8))
+    return os.path.join(frames_dir, "000_rgba.png"), frames_dir
+
+
+def main():
+    cpu = "--cpu" in sys.argv
+    tiny = "--tiny" in sys.argv
+    platform = "cpu" if cpu else "auto"
+    if cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import glob
+
+    import launch
+
+    root = tempfile.mkdtemp(prefix="pipeline_")
+    out_root = os.path.join(root, "outputs")
+    L = 8 if tiny else 32
+    H = 64 if tiny else 512
+    img, frames_dir = make_assets(root, L=L, H=H, W=H)
+
+    stages = {}
+    steps = {"static": 30 if tiny else 600,
+             "refine": 5 if tiny else 2000,
+             "dynamic": 5 if tiny else 2000}
+
+    def timed(name, n_steps, fn):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        stages[name] = {"seconds": round(dt, 1)}
+        if n_steps:
+            stages[name]["steps"] = n_steps
+            stages[name]["ms_per_step_incl_compile"] = round(dt / n_steps * 1e3, 1)
+        print(f"[pipeline] {name}: {dt:.1f}s", flush=True)
+
+    guidance = ["system.guidance.pretrained_model_name_or_path=random:0",
+                "system.guidance.use_clip=false"]
+    tiny_over = []
+    if tiny:
+        guidance = ["system.guidance.pretrained_model_name_or_path=none"]
+        tiny_over = [
+            f"data.height={H}", f"data.width={H}",
+            f"data.random_camera.height={H}", f"data.random_camera.width={H}",
+            "data.random_camera.batch_size=2",
+            "data.random_camera.eval_height=64", "data.random_camera.eval_width=64",
+            "system.geometry.pos_encoding_config.n_levels=6",
+            "system.geometry.pos_encoding_config.log2_hashmap_size=14",
+            "system.renderer.backend=xla", "system.renderer.tile_capacity=512",
+        ]
+
+    # ---- stage 1: static NeRF train (reference sizes = config defaults) ---
+    nerf_over = [
+        f"data.image_path={img}",
+        f"trainer.max_steps={steps['static']}", "trainer.val_check_interval=100000",
+        f"exp_root_dir={out_root}", "use_timestamp=false", "tag=nerf",
+        *guidance,
+        *[ov for ov in tiny_over if "renderer" not in ov],
+    ]
+    if tiny:
+        nerf_over += ["system.exporter.isosurface_resolution=48"]
+    timed("static_nerf_600", steps["static"],
+          lambda: launch.main(_args("stable-zero123.yaml", platform, train=True),
+                              nerf_over))
+
+    # ---- stage 2: coarse OBJ export (marching isosurface) -----------------
+    timed("mc_export", 0,
+          lambda: launch.main(_args("stable-zero123.yaml", platform, export=True),
+                              nerf_over + ["resume=LAST"]))
+    nerf_obj = os.path.join(out_root, "zero123-sai", "nerf", "save", "model.obj")
+    assert os.path.exists(nerf_obj), "stage-1 OBJ export missing"
+
+    # ---- stage 3: QEM simplification to 5000 faces (README step 3) --------
+    from scripts.mesh_simplification import main as simplify_main
+
+    def simplify():
+        old = sys.argv
+        sys.argv = ["mesh_simplification.py", "--mesh_path", nerf_obj,
+                    "--method", "quadric", "--target_faces",
+                    "500" if tiny else "5000"]
+        try:
+            simplify_main()
+        finally:
+            sys.argv = old
+
+    timed("simplify_qem", 0, simplify)
+    bind_mesh = sorted(glob.glob(
+        os.path.join(os.path.dirname(nerf_obj), "model_*.ply")))[0]
+
+    # ---- stage 4: SuGaR static refine @512² --------------------------------
+    refine_over = [
+        f"data.image_path={img}",
+        f"system.geometry.surface_mesh_to_bind_path={bind_mesh}",
+        f"trainer.max_steps={steps['refine']}", "trainer.val_check_interval=100000",
+        f"exp_root_dir={out_root}", "use_timestamp=false", "tag=refine",
+        *guidance, *tiny_over,
+    ]
+    timed("sugar_refine_2000", steps["refine"],
+          lambda: launch.main(_args("sugar_static_refine.yaml", platform, train=True),
+                              refine_over))
+    refine_ckpt = os.path.join(out_root, "sugar-refine", "refine", "ckpts",
+                               f"step_{steps['refine']:08d}")
+    assert os.path.isdir(refine_ckpt), "stage-4 checkpoint missing"
+
+    # ---- stage 5: dynamic stage @512², 32 frames ---------------------------
+    dyn_over = [
+        f"data.video_frames_dir={frames_dir}",
+        f"data.video_length={L}", f"system.geometry.num_frames={L}",
+        f"system.geometry.surface_mesh_to_bind_path={bind_mesh}",
+        f"system.weights={refine_ckpt}",
+        f"trainer.max_steps={steps['dynamic']}", "trainer.val_check_interval=100000",
+        f"exp_root_dir={out_root}", "use_timestamp=false", "tag=dyn",
+        *guidance, *tiny_over,
+    ]
+    if tiny:
+        dyn_over += ["data.num_frames=2", "system.geometry.n_dg_nodes=32",
+                     "system.geometry.dg_node_connectivity=4",
+                     "system.geometry.dist_mode=eucdisc",
+                     "system.geometry.deformation.base_resolution=[8,8,8,4]",
+                     "system.geometry.deformation.multires=[1,2]",
+                     "data.predict_height=64", "data.predict_width=64"]
+    timed("dynamic_2000", steps["dynamic"],
+          lambda: launch.main(_args("sugar_dynamic_dg.yaml", platform, train=True),
+                              dyn_over))
+
+    # ---- stage 6: 4D textured export ---------------------------------------
+    timed("export_4d", 0,
+          lambda: launch.main(_args("sugar_dynamic_dg.yaml", platform, export=True),
+                              dyn_over + ["resume=LAST"]))
+    exp_dir = os.path.join(out_root, "sugar-dynamic", "dyn", "save", "4d_export")
+    objs = glob.glob(os.path.join(exp_dir, "frame_*.obj"))
+    assert len(objs) >= L, f"expected {L} 4D frames, got {len(objs)}"
+
+    total = sum(s["seconds"] for s in stages.values())
+    result = {
+        "pipeline": "static600 -> mc-export -> qem5000 -> refine2000@512 -> "
+                    "dynamic2000@512x32f -> 4D export (1024^2 texture)",
+        "tiny": tiny,
+        "platform": "cpu" if cpu else "accelerator",
+        "guidance": "random-init full-size zero123 (same compute as converted)"
+                    if not tiny else "none",
+        "stages": stages,
+        "total_seconds": round(total, 1),
+        "total_minutes": round(total / 60, 2),
+        "notes": "wall-clock incl. XLA compile; validation disabled "
+                 "(val_check_interval > max_steps) in all stages",
+    }
+    print(json.dumps(result, indent=2))
+    if not tiny:
+        with open(os.path.join(REPO, "PIPELINE.json"), "w") as f:
+            json.dump(result, f, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()
