@@ -77,8 +77,10 @@ def _grad_sums(d_power, dx, dy, rows):
     cuts the VPU work to 5 (G,P) multiplies + 6 reductions (from ~10
     multiplies + 5 reductions + an exp(power) recompute — the opacity grad is
     Σd_power/op since d_power = d_raw·op·exp(power) wherever nonzero).  (A
-    (G,P)x(P,6) moment-matmul formulation was measured SLOWER: the f32 MXU
-    pass with 6→128 padded output lanes costs more than these VPU chains.)
+    (G,P)x(P,6) moment-matmul formulation was measured SLOWER in f32: the f32
+    MXU pass with 6→128 padded output lanes costs more than these VPU chains
+    — but see :func:`_grad_sums_mxu` for the bf16 SHARED-basis variant the
+    mm_bf16 path uses.)
     Returns (d_mx, d_my, d_ca, d_cb, d_cc, Σd_power)."""
     t1 = d_power * dx
     t2 = d_power * dy
@@ -88,6 +90,88 @@ def _grad_sums(d_power, dx, dy, rows):
     d_ca = -0.5 * jnp.sum(t1 * dx, axis=1, keepdims=True)
     d_cb = -jnp.sum(t1 * dy, axis=1, keepdims=True)
     d_cc = -0.5 * jnp.sum(t2 * dy, axis=1, keepdims=True)
+    ca = rows[:, 2:3]; cb = rows[:, 3:4]; cc = rows[:, 4:5]
+    d_mx = -(ca * sx + cb * sy)
+    d_my = -(cc * sy + cb * sx)
+    return d_mx, d_my, d_ca, d_cb, d_cc, s0
+
+
+def _grad_sums_packed(d_power, dx, dy, rows):
+    """:func:`_grad_sums` with the six (G,P)→(G,1) pixel reductions recast as
+    ONE stacked (6G, P)x(P, 8) bf16 matmul against a ones column.
+
+    The five products stay exact VPU work (same sharing as the base chain);
+    only the REDUCTIONS ride the MXU — contraction on the 1024-wide pixel
+    axis is the MXU-efficient direction, and bf16 rounds each summand by
+    ~2⁻⁸ relative with f32 accumulation (the same noise class as the
+    accepted mm_bf16 color dots; no cancellation amplification, unlike the
+    tile-centered moment recombination of :func:`_grad_sums_mxu`)."""
+    G = d_power.shape[0]
+    t1 = d_power * dx
+    t2 = d_power * dy
+    stacked = jnp.concatenate([d_power, t1, t2, t1 * dx, t1 * dy, t2 * dy], 0)
+    ones = jnp.ones((d_power.shape[1], 8), jnp.float32)
+    S = _dot(stacked, ones, ((1,), (0,)), True)[:, 0:1]  # (6G, 1)
+    s0 = S[0:G]
+    sx = S[G:2 * G]
+    sy = S[2 * G:3 * G]
+    d_ca = -0.5 * S[3 * G:4 * G]
+    d_cb = -S[4 * G:5 * G]
+    d_cc = -0.5 * S[5 * G:6 * G]
+    ca = rows[:, 2:3]; cb = rows[:, 3:4]; cc = rows[:, 4:5]
+    d_mx = -(ca * sx + cb * sy)
+    d_my = -(cc * sy + cb * sx)
+    return d_mx, d_my, d_ca, d_cb, d_cc, s0
+
+
+def _pixel_basis(px, py, tile: int = TILE):
+    """(P, 8) TILE-CENTERED moment basis [1, u, v, u², u·v, v², 0, 0] with
+    u = px − cx, v = py − cy for the current tile's center (cx, cy).
+
+    Centering bounds every basis value by tile²/4 so the bf16 moment matmul
+    (:func:`_grad_sums_mxu`) rounds relatively (half-integer u/v are exact in
+    bf16 up to ±tile); an absolute-pixel basis would put 512² values through
+    bf16's 8-bit mantissa.  Returns (basis (P,8), cx, cy)."""
+    cx = (jnp.min(px) + jnp.max(px)) * 0.5
+    cy = (jnp.min(py) + jnp.max(py)) * 0.5
+    u = (px - cx).reshape(-1, 1)  # (P, 1)
+    v = (py - cy).reshape(-1, 1)
+    one = jnp.ones_like(u)
+    zero = jnp.zeros_like(u)
+    return jnp.concatenate(
+        [one, u, v, u * u, u * v, v * v, zero, zero], axis=1), cx, cy
+
+
+def _grad_sums_mxu(d_power, basis, cx, cy, rows):
+    """MXU moment formulation of :func:`_grad_sums` for the bf16 path.
+
+    With tile-centered pixel coords u = px−cx (shared across the group) and
+    per-gaussian centered means mxc = mx−cx, every positional sum is a linear
+    combination of the SHARED-basis moments S_k = Σ_p d_power·U_k
+    (dx = mxc − u ⟹ Σ d_power·dx = mxc·S₀ − S_u, etc.) — so the six (G,P)
+    reductions + five (G,P) products of the VPU chain collapse into ONE
+    (G,P)x(P,8) bf16 matmul (contraction on the 1024-wide pixel axis — the
+    MXU-efficient direction; the 6→128 padded OUTPUT lanes that sank the f32
+    variant cost a single pass here) plus (G,1) recombination.  bf16 rounds
+    d_power by ~2⁻⁸ relative — the same class of gradient noise as the
+    mm_bf16 color dots; the f32 test path keeps the exact VPU chain."""
+    S = _dot(d_power, basis, ((1,), (0,)), True)  # (G, 8) f32-accumulated
+    s0 = S[:, 0:1]
+    su = S[:, 1:2]
+    sv = S[:, 2:3]
+    suu = S[:, 3:4]
+    suv = S[:, 4:5]
+    svv = S[:, 5:6]
+    mxc = rows[:, 0:1] - cx
+    myc = rows[:, 1:2] - cy
+    sx = mxc * s0 - su  # Σ d_power·dx
+    sy = myc * s0 - sv
+    sxx = mxc * mxc * s0 - 2.0 * mxc * su + suu  # Σ d_power·dx²
+    sxy = mxc * myc * s0 - mxc * sv - myc * su + suv
+    syy = myc * myc * s0 - 2.0 * myc * sv + svv
+    d_ca = -0.5 * sxx
+    d_cb = -sxy
+    d_cc = -0.5 * syy
     ca = rows[:, 2:3]; cb = rows[:, 3:4]; cc = rows[:, 4:5]
     d_mx = -(ca * sx + cb * sy)
     d_my = -(cc * sy + cb * sx)
@@ -229,13 +313,17 @@ def _fwd_kernel(n_channels: int, group: int, mm_bf16: bool, counts_ref, tiles_x_
     out_ref[0, C, :] = trans[0]
 
 
-def _bwd_kernel(n_channels: int, group: int, mm_bf16: bool, counts_ref, tiles_x_ref, data_ref,
+def _bwd_kernel(n_channels: int, group: int, mm_bf16: bool, grad_reduce: str,
+                counts_ref, tiles_x_ref, data_ref,
                 fwd_out_ref, cot_ref, grad_ref):
     """Front-to-back replay.  cot rows: (C+1, P) = [g_colors, g_T] where g_T
     already folds the background and alpha cotangents (plain-JAX wrapper)."""
     px, py = _pixel_grid(tiles_x_ref)
     tri_s = _tri_strict(group)
     tri_i = _tri_incl(group)
+    basis = cx = cy = None
+    if mm_bf16 and grad_reduce == "moments":
+        basis, cx, cy = _pixel_basis(px, py)
     t = pl.program_id(0)
     count = counts_ref[t]
     n_groups = pl.cdiv(count, group)
@@ -274,7 +362,14 @@ def _bwd_kernel(n_channels: int, group: int, mm_bf16: bool, counts_ref, tiles_x_
         d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
         d_raw = jnp.where(clamped, 0.0, d_alpha)
         d_power = d_raw * alpha  # (GROUP,P)
-        d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums(d_power, dx, dy, rows)
+        if mm_bf16 and grad_reduce == "moments":
+            d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums_mxu(
+                d_power, basis, cx, cy, rows)
+        elif mm_bf16 and grad_reduce == "packed":
+            d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums_packed(
+                d_power, dx, dy, rows)
+        else:
+            d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums(d_power, dx, dy, rows)
         d_op = s0 / jnp.maximum(rows[:, OP_COL:OP_COL + 1], 1e-12)
         # d_col: (GROUP,P)x(P,C) -> (GROUP,C)
         d_col = _dot(w, g_col, ((1,), (1,)), mm_bf16)
@@ -315,11 +410,11 @@ def _pack_rows(means2d, conics, colors, opacities):
     return jnp.concatenate([rows, jnp.zeros((1, ROW), jnp.float32)], 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def blend_tiles_pallas(
     tile_gauss, tile_counts, means2d, conics_colors, opacities,
     W: int, H: int, n_channels: int, interpret: bool, group: int = GROUP,
-    mm_bf16: bool = False,
+    mm_bf16: bool = False, grad_reduce: str = "vpu",
 ):
     out, _ = _blend_fwd_impl(
         tile_gauss, tile_counts, means2d, conics_colors, opacities, W, H,
@@ -353,14 +448,15 @@ def _blend_fwd_impl(tile_gauss, tile_counts, means2d, conics_colors, opacities,
 
 
 def _blend_fwd_rule(tile_gauss, tile_counts, means2d, conics_colors, opacities,
-                    W, H, n_channels, interpret, group, mm_bf16):
+                    W, H, n_channels, interpret, group, mm_bf16, grad_reduce):
     return _blend_fwd_impl(
         tile_gauss, tile_counts, means2d, conics_colors, opacities, W, H,
         n_channels, interpret, group, mm_bf16,
     )
 
 
-def _blend_bwd_rule(W, H, n_channels, interpret, group, mm_bf16, res, cot):
+def _blend_bwd_rule(W, H, n_channels, interpret, group, mm_bf16, grad_reduce,
+                    res, cot):
     tile_gauss, tile_counts, means2d, conics, colors, opacities, tile_data, fwd_out = res
     T, K = tile_gauss.shape
     C = n_channels
@@ -378,7 +474,7 @@ def _blend_bwd_rule(W, H, n_channels, interpret, group, mm_bf16, res, cot):
         out_specs=pl.BlockSpec((1, K, ROW), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     tile_grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, C, group, mm_bf16),
+        functools.partial(_bwd_kernel, C, group, mm_bf16, grad_reduce),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, K, ROW), jnp.float32),
         interpret=interpret,
@@ -412,6 +508,7 @@ def blend_image_pallas(
     interpret: bool = False,
     group: int = GROUP,
     mm_bf16: bool = False,
+    grad_reduce: str = "vpu",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full-image blend through the Pallas kernel: (rgb_HWC, alpha_HW1,
     depth_HW1) with background composited — matches blend.blend_tiles.
@@ -428,7 +525,7 @@ def blend_image_pallas(
 
     out = blend_tiles_pallas(
         tile_gauss, tile_counts, means2d, (conics, colors_aug), opacities,
-        W, H, C, interpret, group, mm_bf16,
+        W, H, C, interpret, group, mm_bf16, grad_reduce,
     )  # (T, C+1, P)
 
     acc = out[:, :C, :]

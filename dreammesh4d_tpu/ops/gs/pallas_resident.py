@@ -39,9 +39,11 @@ from .pallas_blend import (
     _dot,
     _exclusive_transmittance,
     _grad_sums,
+    _grad_sums_mxu,
     _group_geometry,
     _matmul_bf16,
     _pack_rows,
+    _pixel_basis,
     _pixel_grid,
     _transmittance_parts,
     _tri_incl,
@@ -169,7 +171,7 @@ def _fwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
 
 
 def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
-                tile: int,
+                grad_reduce: str, tile: int,
                 counts_ref, starts_ref, tiles_x_ref,
                 table_ref, pairs_hbm, fwd_out_ref, cot_ref,
                 grads_ref, idx_smem, sem):
@@ -177,6 +179,9 @@ def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
     px, py = _pixel_grid(tiles_x_ref, tile)
     tri_s = _tri_strict(group)
     tri_i = _tri_incl(group)
+    basis = cx = cy = None
+    if mm_bf16 and grad_reduce == "moments":
+        basis, cx, cy = _pixel_basis(px, py, tile)
     t = pl.program_id(0)
     count = jnp.minimum(counts_ref[t], cap)
     C = n_channels
@@ -211,7 +216,15 @@ def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
         d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
         d_raw = jnp.where(clamped, 0.0, d_alpha)
         d_power = d_raw * alpha
-        d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums(d_power, dx, dy, rows)
+        if mm_bf16 and grad_reduce == "moments":
+            d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums_mxu(
+                d_power, basis, cx, cy, rows)
+        elif mm_bf16 and grad_reduce == "packed":
+            d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums_packed(
+                d_power, dx, dy, rows)
+        else:
+            d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums(
+                d_power, dx, dy, rows)
         d_op = s0 / jnp.maximum(rows[:, OP_COL:OP_COL + 1], 1e-12)
         d_col = _dot(w, g_col, ((1,), (1,)), mm_bf16)
         pad = jnp.zeros((group, OP_COL - 5 - C), jnp.float32)
@@ -233,7 +246,7 @@ def _bwd_kernel(n_channels: int, cap: int, group: int, mm_bf16: bool,
 
 
 def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
-                      stream_rows: bool, tile: int,
+                      grad_reduce: str, stream_rows: bool, tile: int,
                       counts_ref, starts_ref, tiles_x_ref,
                       *rest):
     """Backward replay that accumulates per-GAUSSIAN gradients directly into
@@ -262,6 +275,9 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
     px, py = _pixel_grid(tiles_x_ref, tile)
     tri_s = _tri_strict(group)
     tri_i = _tri_incl(group)
+    basis = cx = cy = None
+    if mm_bf16 and grad_reduce == "moments":
+        basis, cx, cy = _pixel_basis(px, py, tile)
     t = pl.program_id(0)
     count = jnp.minimum(counts_ref[t], cap)
     C = n_channels
@@ -305,7 +321,15 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
         d_alpha = jnp.where(alpha > 0.0, d_alpha, 0.0)
         d_raw = jnp.where(clamped, 0.0, d_alpha)
         d_power = d_raw * alpha
-        d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums(d_power, dx, dy, rows)
+        if mm_bf16 and grad_reduce == "moments":
+            d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums_mxu(
+                d_power, basis, cx, cy, rows)
+        elif mm_bf16 and grad_reduce == "packed":
+            d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums_packed(
+                d_power, dx, dy, rows)
+        else:
+            d_mx, d_my, d_ca, d_cb, d_cc, s0 = _grad_sums(
+                d_power, dx, dy, rows)
         d_op = s0 / jnp.maximum(rows[:, OP_COL:OP_COL + 1], 1e-12)
         d_col = _dot(w, g_col, ((1,), (1,)), mm_bf16)
         pad = jnp.zeros((group, OP_COL - 5 - C), jnp.float32)
@@ -316,14 +340,23 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
         # RMW as batched gather -> one vector add -> batched scatter: the
         # interleaved read-add-write per row chains 128 RMWs the compiler
         # must serialize (it cannot prove idx_j != idx_{j+1}); split phases
-        # let the indexed reads/writes pipeline.  Safe because pair indices
-        # within a tile are DISTINCT except the padding sentinel row N,
-        # whose grad_rows are exactly zero (live mask) — duplicate
-        # last-write-wins of cur+0 is the same as accumulation.
-        cur = _read_group_rows(grads_ref, idx_smem, slot_base, g0, group)
+        # let the indexed reads/writes pipeline.  Pair indices within a tile
+        # are DISTINCT, so phase-split equals accumulation — but only for
+        # IN-COUNT rows: the SMEM window rows past ``count`` hold the NEXT
+        # tiles' pair indices (segments are contiguous), which can repeat an
+        # in-count gaussian and last-write-wins its stale pre-add value.
+        # Divert every out-of-count row to the sentinel row (its grad_rows
+        # are exactly zero under the live mask, so duplicate writes of
+        # cur+0 are no-ops there).
+        sent = grads_ref.shape[0] - 1
+        idxs = [
+            jnp.where(g0 + j < count, idx_smem[slot_base + g0 + j], sent)
+            for j in range(group)
+        ]
+        cur = jnp.stack([grads_ref[i, :] for i in idxs], 0)
         new_rows = cur + grad_rows
         for j in range(group):
-            grads_ref[idx_smem[slot_base + g0 + j], :] = new_rows[j, :]
+            grads_ref[idxs[j], :] = new_rows[j, :]
         return g + 1, t_out, prefix[group - 1:group, :]
 
     def cond(carry):
@@ -336,12 +369,12 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15))
 def blend_pairs_pallas(
     sorted_gauss, starts_counts, means2d, conics_colors, opacities,
     W: int, H: int, n_channels: int, cap: int, interpret: bool,
     group: int = GROUP, bwd_accum: bool = True, mm_bf16: bool = False,
-    stream_rows: bool = False, tile: int = TILE,
+    stream_rows: bool = False, tile: int = TILE, grad_reduce: str = "vpu",
 ):
     """starts_counts = (starts, counts, sorted_tile, sorted_origpos, perm,
     inv_rank) — the last two are the rank-mode depth permutation and its
@@ -414,14 +447,14 @@ def _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
 
 def _fwd_rule(sorted_gauss, starts_counts, means2d, conics_colors, opacities,
               W, H, n_channels, cap, interpret, group, bwd_accum, mm_bf16,
-              stream_rows, tile):
+              stream_rows, tile, grad_reduce):
     return _fwd_impl(sorted_gauss, starts_counts, means2d, conics_colors,
                      opacities, W, H, n_channels, cap, interpret, group,
                      mm_bf16, stream_rows, tile)
 
 
 def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, mm_bf16,
-                    stream_rows, tile, res, cot):
+                    stream_rows, tile, grad_reduce, res, cot):
     """In-kernel per-gaussian accumulation: the kernel's output IS the
     (N+1, ROW) gradient table — no permutation sort, no row-gathers."""
     (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
@@ -464,7 +497,7 @@ def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, mm_bf16,
     )
     acc = pl.pallas_call(
         functools.partial(_bwd_kernel_accum, C, cap, group, mm_bf16,
-                          stream_rows, tile),
+                          grad_reduce, stream_rows, tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N + 1, ROW), jnp.float32),
         interpret=interpret,
@@ -499,15 +532,17 @@ def _bwd_rule_accum(W, H, n_channels, cap, interpret, group, mm_bf16,
 
 
 def _bwd_rule_dispatch(W, H, n_channels, cap, interpret, group, bwd_accum,
-                       mm_bf16, stream_rows, tile, res, cot):
+                       mm_bf16, stream_rows, tile, grad_reduce, res, cot):
     if bwd_accum:
         return _bwd_rule_accum(W, H, n_channels, cap, interpret, group,
-                               mm_bf16, stream_rows, tile, res, cot)
+                               mm_bf16, stream_rows, tile, grad_reduce, res,
+                               cot)
     return _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, tile,
-                     res, cot)
+                     grad_reduce, res, cot)
 
 
-def _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, tile, res, cot):
+def _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, tile,
+              grad_reduce, res, cot):
     (sorted_gauss, starts, counts, sorted_tile, sorted_origpos, means2d,
      conics, colors, opacities, rows, pairs, fwd_out, inv_rank, pair_rows) = res
     assert inv_rank is None, "rank-mode binning requires bwd_accum=True"
@@ -536,7 +571,8 @@ def _bwd_rule(W, H, n_channels, cap, interpret, group, mm_bf16, tile, res, cot):
         ],
     )
     tile_grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, C, cap, group, mm_bf16, tile),
+        functools.partial(_bwd_kernel, C, cap, group, mm_bf16, grad_reduce,
+                          tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, cap, ROW), jnp.float32),
         interpret=interpret,
@@ -601,6 +637,7 @@ def blend_image_resident(
     mm_bf16: bool = False,
     stream_rows: bool = False,
     tile: int = TILE,
+    grad_reduce: str = "vpu",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full-image blend through the resident kernel (same outputs/contract as
     pallas_blend.blend_image_pallas)."""
@@ -615,7 +652,7 @@ def blend_image_resident(
         (pa.starts, pa.counts, pa.sorted_tile, pa.sorted_origpos,
          pa.depth_order, pa.inv_rank),
         means2d, (conics, colors_aug), opacities, W, H, C, cap, interpret, group,
-        bwd_accum, mm_bf16, stream_rows and bwd_accum, tile,
+        bwd_accum, mm_bf16, stream_rows and bwd_accum, tile, grad_reduce,
     )
     acc = out[:, :C, :]
     t_final = out[:, C, :]

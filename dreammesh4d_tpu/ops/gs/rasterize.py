@@ -100,6 +100,14 @@ class RasterizerConfig(NamedTuple):
     # better trade on dense scenes.  The xla/pallas table backends are fixed
     # at 16.
     tile_px: int = 16
+    # backward positional-gradient reduction (Pallas kernels, only active
+    # with bf16_matmuls): "vpu" = shared-product VPU chain (exact f32);
+    # "packed" = the six pixel reductions as ONE stacked bf16 MXU matmul
+    # (products stay exact; summands round ~2^-8 relative — same noise class
+    # as the mm_bf16 color dots); "moments" = tile-centered shared-basis
+    # moment matmul (cheapest VPU-wise but amplifies bf16 noise by
+    # (mxc/sigma)^2 in the recombination — A/B only).
+    grad_reduce: str = "vpu"
 
 
 def rasterize(
@@ -199,6 +207,7 @@ def _rasterize_projected(
             group=_auto_group(cfg, proj.means2d.shape[0]),
             bwd_accum=cfg.bwd_accum, mm_bf16=cfg.bf16_matmuls,
             stream_rows=cfg.stream_rows, tile=cfg.tile_px,
+            grad_reduce=cfg.grad_reduce,
         )
         return RasterizeOutput(rgb, proj.radii, depth, alpha)
     # tile_px is a resident-backend binning knob; the xla/pallas table
@@ -235,6 +244,7 @@ def _rasterize_projected(
             interpret=cfg.interpret,
             group=_auto_group(cfg, proj.means2d.shape[0]),
             mm_bf16=cfg.bf16_matmuls,
+            grad_reduce=cfg.grad_reduce,
         )
         return RasterizeOutput(rgb, proj.radii, depth, alpha)
     out: BlendOutput = blend_tiles(
