@@ -85,6 +85,20 @@ def main():
                                      tile_px=32, max_tiles_per_gaussian=4,
                                      tile_capacity=2048, group=192)),
     ]
+    if len(sys.argv) > 2 and sys.argv[2] == "gradreduce":
+        variants = [
+            ("t32/m4/c2048/vpu", dict(bf16_matmuls=True, stream_rows=True,
+                                      tile_px=32, max_tiles_per_gaussian=4,
+                                      tile_capacity=2048)),
+            ("t32/m4/c2048/packed", dict(bf16_matmuls=True, stream_rows=True,
+                                         tile_px=32, max_tiles_per_gaussian=4,
+                                         tile_capacity=2048,
+                                         grad_reduce="packed")),
+            ("t32/m4/c2048/moments", dict(bf16_matmuls=True, stream_rows=True,
+                                          tile_px=32, max_tiles_per_gaussian=4,
+                                          tile_capacity=2048,
+                                          grad_reduce="moments")),
+        ]
     if len(sys.argv) > 2 and sys.argv[2] == "t64":
         variants += [
             ("t64+cap4096+m2", dict(bf16_matmuls=True, stream_rows=True,

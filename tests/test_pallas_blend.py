@@ -145,6 +145,7 @@ def test_resident_forward_matches_xla():
     np.testing.assert_allclose(np.asarray(out_r.depth), np.asarray(out_x.depth), atol=6e-3)
 
 
+@pytest.mark.quick
 def test_resident_gradients_match_xla():
     scene = make_scene(N=60, seed=1)
     p, quats, scales, colors, opac, cam = scene
@@ -176,6 +177,7 @@ def test_resident_gradients_match_xla():
         np.testing.assert_allclose(b / denom, a / denom, atol=3e-3, err_msg=k)
 
 
+@pytest.mark.quick
 def test_resident_bwd_accum_matches_reduction():
     """The in-kernel per-gaussian accumulator backward must produce the same
     gradients as the sort+gather reduction (both interpret-mode)."""
@@ -243,6 +245,7 @@ def test_resident_stream_rows_matches_table_reads():
                                    atol=1e-6, rtol=1e-5, err_msg=k)
 
 
+@pytest.mark.quick
 def test_resident_tile32_matches_tile16():
     """tile_px=32 (quarter the pairs, 1024-px programs) must render and
     differentiate the same as the 16-px tiling up to the T_EPS early-exit
