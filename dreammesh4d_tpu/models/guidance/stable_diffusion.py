@@ -271,6 +271,21 @@ class StableDiffusionConfig:
     max_position_embeddings: int = 77
     dtype: Any = jnp.float32
 
+    def __post_init__(self):
+        # same YAML dtype-string surface as Zero123Config (guidance.py):
+        # "fp16"/"float16" map to bf16, the TPU equivalent of the
+        # reference's weights_dtype=torch.float16
+        # (stable_diffusion_guidance.py:59-95)
+        if isinstance(self.dtype, str):
+            table = {"float32": jnp.float32, "fp32": jnp.float32,
+                     "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                     "float16": jnp.bfloat16, "fp16": jnp.bfloat16}
+            try:
+                self.dtype = table[self.dtype.lower()]
+            except KeyError:
+                raise ValueError(
+                    f"guidance.dtype {self.dtype!r} not in {sorted(table)}")
+
 
 @ds.register("stable-diffusion-guidance")
 class StableDiffusionGuidance:

@@ -81,6 +81,22 @@ class Zero123Config:
     clip_image_size: int = 224
     clip_patch_size: int = 14
 
+    def __post_init__(self):
+        # YAML surface: system.guidance.dtype "bfloat16"/"bf16"/"float32"/
+        # "fp32"/"float16" (fp16 maps to bf16 — the TPU equivalent of the
+        # reference's fp16-with-fp32-norms guidance,
+        # temporal_stable_zero123_guidance.py:104-135; norms are f32 via
+        # param_dtype in unet.py regardless of compute dtype)
+        if isinstance(self.dtype, str):
+            table = {"float32": jnp.float32, "fp32": jnp.float32,
+                     "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                     "float16": jnp.bfloat16, "fp16": jnp.bfloat16}
+            try:
+                self.dtype = table[self.dtype.lower()]
+            except KeyError:
+                raise ValueError(
+                    f"guidance.dtype {self.dtype!r} not in {sorted(table)}")
+
 
 class Zero123Modules:
     """Module bundle + param init + pure apply fns."""

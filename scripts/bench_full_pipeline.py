@@ -99,7 +99,14 @@ def main():
     out_root = os.path.join(root, "outputs")
     L = 8 if tiny else 32
     H = 64 if tiny else 512
-    img, frames_dir = make_assets(root, L=L, H=H, W=H)
+    reuse = os.environ.get("PIPELINE_FRAMES_DIR")
+    if reuse:  # reuse a previous run's procedural frames (asset render at
+        # 512^2 through the tunneled chip costs ~30 min; the frames are
+        # deterministic, so reuse is exact)
+        img, frames_dir = os.path.join(reuse, "000_rgba.png"), reuse
+        assert os.path.exists(img), img
+    else:
+        img, frames_dir = make_assets(root, L=L, H=H, W=H)
 
     stages = {}
     steps = {"static": 30 if tiny else 600,

@@ -124,3 +124,34 @@ def test_deep_floyd_pixel_space():
     gv = jax.grad(lambda r: g.sds_loss(params, prompts, jax.random.PRNGKey(1),
                                        r, elev, azim, dist, jnp.asarray(0))["loss_sds"])(rgb)
     assert np.isfinite(np.asarray(gv)).all() and float(jnp.abs(gv).sum()) > 0
+
+
+def test_guidance_dtype_yaml_strings():
+    """YAML surface: system.guidance.dtype accepts dtype strings; fp16 maps
+    to bf16 (the TPU equivalent of the reference's fp16-with-fp32-norms
+    guidance, temporal_stable_zero123_guidance.py:104-135), and the flagship
+    stage configs run the guidance in bf16 like the reference runs fp16."""
+    import os
+
+    import jax.numpy as jnp
+
+    from dreammesh4d_tpu.config import load_config
+    from dreammesh4d_tpu.models.guidance.stable_diffusion import (
+        StableDiffusionConfig,
+    )
+    from dreammesh4d_tpu.models.guidance.zero123 import Zero123Config
+
+    assert Zero123Config(dtype="bfloat16").dtype == jnp.bfloat16
+    assert Zero123Config(dtype="fp16").dtype == jnp.bfloat16
+    assert Zero123Config(dtype="float32").dtype == jnp.float32
+    assert StableDiffusionConfig(dtype="bf16").dtype == jnp.bfloat16
+    with pytest.raises(ValueError):
+        Zero123Config(dtype="int8")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for y in ("stable-zero123.yaml", "sugar_static_refine.yaml",
+              "sugar_dynamic_dg.yaml"):
+        cfg = load_config(
+            os.path.join(repo, "configs", y),
+            cli_args=["data.image_path=/tmp/x.png", "tag=t",
+                      "use_timestamp=false", "exp_root_dir=/tmp/cfgtest"])
+        assert cfg.system["guidance"]["dtype"] == "bfloat16", y
