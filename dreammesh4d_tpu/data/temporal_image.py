@@ -135,7 +135,12 @@ class TemporalImageDataModule:
 
     # ---------------- loading ----------------
     def load_frames(self):
-        key = (self.height, self.width)
+        return self.frames_at(self.height, self.width)
+
+    def frames_at(self, height: int, width: int):
+        """Frame bank at an EXPLICIT resolution (cached) — per-milestone
+        compiled steps each close over their own size's bank."""
+        key = (height, width)
         if key in self._frames_cache:
             return self._frames_cache[key]
         cfg = self.cfg
@@ -144,13 +149,13 @@ class TemporalImageDataModule:
             raise FileNotFoundError(f"No frames found under {cfg.video_frames_dir}")
         rgbs, masks = [], []
         for p in paths:
-            rgb, mask = load_rgba(p, self.height, self.width)
+            rgb, mask = load_rgba(p, height, width)
             rgbs.append(rgb)
             masks.append(mask)
         self._frames_cache[key] = (np.stack(rgbs), np.stack(masks))
         return self._frames_cache[key]
 
-    def _load_sidecar(self, suffix: str, loader):
+    def _load_sidecar(self, suffix: str, loader, height: int, width: int):
         """Per-frame sidecar maps ({i:03d}_depth.png / _normal.png), hard
         error when missing (reference asserts, temporal_image.py:218,239)."""
         paths = find_frame_paths(self.cfg.video_frames_dir, self.cfg.video_length)
@@ -161,23 +166,27 @@ class TemporalImageDataModule:
                 sp = p[:-4] + f"_{suffix}.png"
             if not os.path.exists(sp):
                 raise FileNotFoundError(f"requires_{suffix} set but {sp} is missing")
-            out.append(loader(sp, self.height, self.width))
+            out.append(loader(sp, height, width))
         return np.stack(out)
 
-    def load_depths(self):
+    def load_depths(self, height=None, width=None):
         from .image import _load_gray
 
-        key = ("depth", self.height, self.width)
+        h = int(height if height is not None else self.height)
+        w = int(width if width is not None else self.width)
+        key = ("depth", h, w)
         if key not in self._frames_cache:
-            self._frames_cache[key] = self._load_sidecar("depth", _load_gray)
+            self._frames_cache[key] = self._load_sidecar("depth", _load_gray, h, w)
         return self._frames_cache[key]
 
-    def load_normals(self):
+    def load_normals(self, height=None, width=None):
         from .image import _load_rgb
 
-        key = ("normal", self.height, self.width)
+        h = int(height if height is not None else self.height)
+        w = int(width if width is not None else self.width)
+        key = ("normal", h, w)
         if key not in self._frames_cache:
-            self._frames_cache[key] = self._load_sidecar("normal", _load_rgb)
+            self._frames_cache[key] = self._load_sidecar("normal", _load_rgb, h, w)
         return self._frames_cache[key]
 
     @property

@@ -59,6 +59,12 @@ class PromptProcessorConfig:
     use_cache: bool = True
     cache_dir: str = ".threestudio_cache/text_embeddings"
     spawn: bool = False  # compute embeddings in a spawned subprocess
+    # prompt debiasing (reference prompt_processors/base.py:209-213,448-506):
+    # score each word's influence on the view distribution of a BERT
+    # masked-LM probe sentence; drop words that bias a view's probability
+    use_prompt_debiasing: bool = False
+    pretrained_model_name_or_path_prompt_debiasing: str = "bert-base-uncased"
+    prompt_debiasing_mask_ids: tuple | None = None  # word indices to consider
 
 
 class PromptEmbeddings:
@@ -221,14 +227,93 @@ class StableDiffusionPromptProcessor:
         # tokenizer-free fallback (zero-egress image): deterministic hash
         return _hash_embedding(text, cfg.seq_len, cfg.context_dim)
 
+    # -- prompt debiasing (reference base.py:448-506) ----------------------
+
+    _DEBIAS_VIEWS = ("side", "front", "back", "overhead")
+
+    def _bert_modulate_fn(self):
+        """``modulate(prompt) -> (4,) float``: masked-LM view probabilities of
+        'This image is depicting a [MASK] view of {prompt}', restricted to the
+        side/front/back/overhead tokens and renormalized (base.py:461-477).
+        Loads a LOCAL BertForMaskedLM dir if configured; in the zero-egress
+        image falls back to a deterministic hash probe so the debias pipeline
+        stays runnable (provenance: scores are then text-hash pseudo-probs,
+        not language-model judgments — same fallback policy as
+        ``_hash_embedding``)."""
+        import os
+
+        path = str(self.cfg.pretrained_model_name_or_path_prompt_debiasing)
+        if os.path.isdir(path):
+            import torch
+            import torch.nn.functional as F
+            from transformers import AutoTokenizer, BertForMaskedLM
+
+            tokenizer = AutoTokenizer.from_pretrained(path)
+            model = BertForMaskedLM.from_pretrained(path)
+            view_ids = tokenizer(" ".join(self._DEBIAS_VIEWS),
+                                 return_tensors="pt").input_ids[0][1:5]
+
+            def modulate(prompt: str) -> np.ndarray:
+                tokens = tokenizer(
+                    f"This image is depicting a [MASK] view of {prompt}",
+                    padding="max_length", truncation=True,
+                    add_special_tokens=True, return_tensors="pt")
+                mask_idx = torch.where(
+                    tokens.input_ids == tokenizer.mask_token_id)[1]
+                with torch.no_grad():
+                    logits = model(**tokens).logits
+                probs = F.softmax(logits[0, mask_idx], dim=-1)[0, view_ids]
+                return np.asarray(probs / probs.sum())
+
+            return modulate
+
+        def modulate(prompt: str) -> np.ndarray:
+            seed = int.from_bytes(
+                hashlib.sha256(prompt.encode()).digest()[:4], "little")
+            p = np.random.RandomState(seed).rand(4).astype(np.float64) + 0.25
+            return p / p.sum()
+
+        return modulate
+
+    def get_debiased_prompt(self, prompt: str, modulate=None):
+        """Per-view word-pruned prompts [side, front, back, overhead].
+
+        Reference algorithm (base.py:448-506): for every candidate word,
+        compare the view distribution with and without the word; a view whose
+        pointwise mutual information ``full / lerp(part, full, 0.5)`` drops
+        below 0.95 has that word removed from ITS prompt copy."""
+        modulate = modulate or self._bert_modulate_fn()
+        words = prompt.split(" ")
+        prompts = [list(words) for _ in self._DEBIAS_VIEWS]
+        full_probe = np.asarray(modulate(prompt), np.float64)
+        mask_ids = (list(self.cfg.prompt_debiasing_mask_ids)
+                    if self.cfg.prompt_debiasing_mask_ids is not None
+                    else list(range(len(words))))
+        for idx in mask_ids:
+            part = " ".join(words[:idx] + words[idx + 1:])
+            part_probe = np.asarray(modulate(part), np.float64)
+            # torch.lerp(part, full, 0.5) == (part + full) / 2
+            pmi = full_probe / (0.5 * (part_probe + full_probe))
+            for i in range(len(self._DEBIAS_VIEWS)):
+                if pmi[i] < 0.95:
+                    prompts[i][idx] = ""
+        out = [" ".join(w for w in p if w) for p in prompts]
+        for view, dp in zip(self._DEBIAS_VIEWS, out):
+            ds.info("Debiased prompt of the %s view is [%s]", view, dp)
+        return out
+
     def __call__(self) -> PromptEmbeddings:
         cfg = self.cfg
+        if cfg.use_prompt_debiasing:
+            side_p, front_p, back_p, over_p = self.get_debiased_prompt(cfg.prompt)
+        else:
+            side_p = front_p = back_p = over_p = cfg.prompt
         views = [
             cfg.prompt,
-            f"{cfg.prompt}, front view",
-            f"{cfg.prompt}, side view",
-            f"{cfg.prompt}, back view",
-            f"{cfg.prompt}, overhead view",
+            f"{front_p}, front view",
+            f"{side_p}, side view",
+            f"{back_p}, back view",
+            f"{over_p}, overhead view",
         ]
         if self._has_text_encoder():
             self.prepare_text_embeddings(views + [cfg.negative_prompt])

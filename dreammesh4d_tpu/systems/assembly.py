@@ -400,23 +400,45 @@ class SugarStaticExperiment:
                     batch["camera_distances"], None, batch["step"],
                 )["loss_sds"]
 
-        ref_raster_cfg = build_raster_config(
-            d.height, d.width, d.default_fovy_deg, system
-        )
         invert_bg_prob = float(system.get("renderer", {}).get("invert_bg_prob", 1.0))
-        self._train_step = make_train_step(
-            self.static, self.raster_cfg, optimizer, loss_cfg, guidance_fn,
-            invert_bg_prob=invert_bg_prob, ref_raster_cfg=ref_raster_cfg,
-        )
+
+        # per-milestone compiled steps: list-valued heights train at EACH
+        # milestone size with its own jitted step (JAX compiles per static
+        # shape anyway — this is a dict of steps keyed by resolution),
+        # honoring resolution_milestones exactly like the static NeRF path
+        # (reference image.py:117-126,232).  Scalar configs hit one key.
+        def _build_step(rc_h, rc_w, ref_h, ref_w):
+            rc = build_raster_config(rc_h, rc_w, d.default_fovy_deg, system)
+            rf = build_raster_config(ref_h, ref_w, d.default_fovy_deg, system)
+            return make_train_step(
+                self.static, rc, optimizer, loss_cfg, guidance_fn,
+                invert_bg_prob=invert_bg_prob, ref_raster_cfg=rf,
+            )
+
+        self._build_step = _build_step
+        self._steps: Dict[tuple, Any] = {}
+        self._train_step = self._step_for_current()
         self._render_eval = make_render_eval(self.static, self.raster_cfg)
         self.state = self.par.replicate(init_state(params, optimizer))
         self._gstate = self.par.shard_guidance(self._gstate)
         self.rng = jax.random.PRNGKey(cfg.seed)
 
+    def _step_for_current(self):
+        rs = self.data.random_sampler
+        rc_h = rs.height if rs is not None else self.data.height
+        rc_w = rs.width if rs is not None else self.data.width
+        key = (int(rc_h), int(rc_w), int(self.data.height), int(self.data.width))
+        if key not in self._steps:
+            self._steps[key] = self._build_step(*key)
+        return self._steps[key]
+
     def train_step(self, step: int) -> Dict[str, float]:
         from ..utils.schedule import C_max
 
         batch = self.data.train_batch(step)
+        # milestone boundary: train_batch applied data/sampler milestones —
+        # switch to (or compile) the step for the CURRENT resolution
+        self._train_step = self._step_for_current()
         keep = ("ref_cameras", "ref_rgb", "ref_mask", "rand_cameras")
         if self._gstate is not None:  # SDS conditioning needs the view poses
             keep += ("elevation", "azimuth", "camera_distances")
@@ -506,11 +528,11 @@ class Sugar4DGenExperiment:
         system = cfg.system
         self.saver = Saver(os.path.join(cfg.trial_dir, "save"))
         self.data = make_temporal_datamodule(cfg.data, cfg.seed)
-        # milestone (list) sizes: the video bank + raster shapes are baked into
-        # ONE jitted step, so train at the final milestone resolution — the
-        # same documented deviation as build_raster_config
-        if len(self.data.heights) > 1:
-            self.data.set_final_resolution()
+        # list-valued (milestone) sizes are honored by compiling ONE step per
+        # milestone resolution (see _step_for_current below) — the video bank
+        # + raster shapes are per-step closure constants, so each size gets
+        # its own jitted step instead of pinning to the final resolution
+        # (reference image.py:117-126,232 via temporal_image.py)
         self.par = ParallelContext.from_trainer_cfg(dict(cfg.trainer or {}))
         if self.par.active:
             self.par.check_batch_size(self.data.cfg.num_frames,
@@ -592,7 +614,11 @@ class Sugar4DGenExperiment:
         if guidance_pack is not None:
             guidance, gparams = guidance_pack
             self._guidance = guidance
-            frames_rgb, _ = self.data.load_frames()
+            # embedding bank from the FINAL-milestone frames: the guidance
+            # resizes internally (encode_cond_latent), so the bank is
+            # resolution-independent — build it once from the sharpest source
+            frames_rgb, _ = self.data.frames_at(
+                int(self.data.heights[-1]), int(self.data.widths[-1]))
             bank = guidance.prepare_embeddings(gparams, jnp.asarray(frames_rgb))
             # params/bank ride the jitted step as an argument — closing over
             # them would bake ~3.4 GB of UNet weights into the program as
@@ -618,34 +644,45 @@ class Sugar4DGenExperiment:
             deform_params = init_discrete_params(dyn_cfg, len(sugar_params.points))
         else:
             deform_params = init_deformation(deform_cfg, jax.random.PRNGKey(cfg.seed))
-        ref_raster_cfg = build_raster_config(d.height, d.width, d.default_fovy_deg, system)
-        frames_rgb_np, frames_mask_np = self.data.load_frames()
-        self._video_frames = (jnp.asarray(frames_rgb_np), jnp.asarray(frames_mask_np))
         from ..utils.schedule import C_max as _cmax
 
         loss_d = dict(system.get("loss", {}))
-        video_depths = video_normals = None
-        if _cmax(loss_d.get("lambda_depth", 0)) > 0 or _cmax(loss_d.get("lambda_depth_rel", 0)) > 0:
-            video_depths = jnp.asarray(self.data.load_depths())
-        if _cmax(loss_d.get("lambda_normal", 0)) > 0:
-            video_normals = jnp.asarray(self.data.load_normals())
+        need_depth = (_cmax(loss_d.get("lambda_depth", 0)) > 0
+                      or _cmax(loss_d.get("lambda_depth_rel", 0)) > 0)
+        need_normal = _cmax(loss_d.get("lambda_normal", 0)) > 0
         grs = int(dict(system.get("guidance", {})).get("guidance_render_size", 0) or 0)
         if guidance_fn is None:
             grs = 0  # the rand views only feed SDS; keep data-size renders
-        rand_raster_cfg = None
-        if grs and grs != d.random_camera.height:
-            rand_raster_cfg = build_raster_config(grs, grs, d.default_fovy_deg, system)
-        self._train_step = make_dynamic_train_step(
-            sugar_params, self.static, deform_cfg, self.raster_cfg, optimizer,
-            loss_cfg, jnp.asarray(arap_w), guidance_fn,
-            invert_bg_prob=float(system.get("renderer", {}).get("invert_bg_prob", 1.0)),
-            arap_start_step=int(freq.get("milestone_arap_reg", 0)),
-            ref_raster_cfg=ref_raster_cfg,
-            video_frames=self._video_frames,
-            rand_raster_cfg=rand_raster_cfg,
-            video_depths=video_depths,
-            video_normals=video_normals,
-        )
+        invert_bg = float(system.get("renderer", {}).get("invert_bg_prob", 1.0))
+        arap_start = int(freq.get("milestone_arap_reg", 0))
+
+        # per-milestone compiled steps: each resolution closes over its own
+        # frame bank + raster cfgs (reference image.py:117-126,232 honored for
+        # list-valued heights; scalar configs compile exactly one step)
+        def _build_step(rc_h, rc_w, ref_h, ref_w):
+            rc = build_raster_config(rc_h, rc_w, d.default_fovy_deg, system)
+            rf = build_raster_config(ref_h, ref_w, d.default_fovy_deg, system)
+            frames_rgb_np, frames_mask_np = self.data.frames_at(ref_h, ref_w)
+            video_frames = (jnp.asarray(frames_rgb_np), jnp.asarray(frames_mask_np))
+            video_depths = (jnp.asarray(self.data.load_depths(ref_h, ref_w))
+                            if need_depth else None)
+            video_normals = (jnp.asarray(self.data.load_normals(ref_h, ref_w))
+                             if need_normal else None)
+            rand_rc = None
+            if grs and grs != rc_h:
+                rand_rc = build_raster_config(grs, grs, d.default_fovy_deg, system)
+            return make_dynamic_train_step(
+                sugar_params, self.static, deform_cfg, rc, optimizer,
+                loss_cfg, jnp.asarray(arap_w), guidance_fn,
+                invert_bg_prob=invert_bg, arap_start_step=arap_start,
+                ref_raster_cfg=rf, video_frames=video_frames,
+                rand_raster_cfg=rand_rc, video_depths=video_depths,
+                video_normals=video_normals,
+            )
+
+        self._build_step = _build_step
+        self._steps: Dict[tuple, Any] = {}
+        self._train_step = self._step_for_current()
         self._render_eval = make_dynamic_render_eval(
             sugar_params, self.static, deform_cfg, self.raster_cfg
         )
@@ -653,8 +690,20 @@ class Sugar4DGenExperiment:
         self._gstate = self.par.shard_guidance(self._gstate)
         self.rng = jax.random.PRNGKey(cfg.seed)
 
+    def _step_for_current(self):
+        rs = self.data.random_sampler
+        rc_h = rs.height if rs is not None else self.data.height
+        rc_w = rs.width if rs is not None else self.data.width
+        key = (int(rc_h), int(rc_w), int(self.data.height), int(self.data.width))
+        if key not in self._steps:
+            self._steps[key] = self._build_step(*key)
+        return self._steps[key]
+
     def train_step(self, step: int) -> Dict[str, float]:
         batch = self.data.train_batch(step)
+        # milestone boundary: switch to (or compile) the step whose frame
+        # bank + raster shapes match the CURRENT milestone resolution
+        self._train_step = self._step_for_current()
         batch["inter_timestamps"] = self.data.inter_frame_timestamps(
             self.num_inter_frames, self.length_inter_frames
         )

@@ -69,9 +69,13 @@ def _build_optimizer(system: dict):
 
     opt_args = dict(system.get("optimizer", {}).get("args", {}))
     betas = opt_args.get("betas", [0.9, 0.99])
-    return optax.adam(float(opt_args.get("lr", 0.01)),
-                      b1=float(betas[0]), b2=float(betas[1]),
-                      eps=float(opt_args.get("eps", 1e-8)))
+    opt = optax.adam(float(opt_args.get("lr", 0.01)),
+                     b1=float(betas[0]), b2=float(betas[1]),
+                     eps=float(opt_args.get("eps", 1e-8)))
+    # reference parse_scheduler parity (threestudio/systems/utils.py:50-104):
+    # a system.scheduler block multiplies the LR by a per-step factor
+    from .optim import with_scheduler
+    return with_scheduler(opt, system.get("scheduler"))
 
 
 def maybe_build_sd_guidance(system: dict, guidance_cls=None, config_cls=None):

@@ -22,6 +22,15 @@ artifacts: per-stage seconds + ms/step + total minutes.
 
 Usage: python scripts/bench_full_pipeline.py [--cpu] [--tiny]
   --tiny: smoke-check the chain at toy sizes/steps (CI; no timing value)
+
+Crash resilience (the tunneled TPU worker can die mid-run — observed
+"TPU worker process crashed or restarted" ~18 min into stage 1): set
+PIPELINE_OUT_DIR to a persistent directory and re-run the script after a
+crash.  A stage ledger (<out>/pipeline_stages.json) accumulates wall-clock
+across attempts, completed stages are skipped, and interrupted train stages
+resume from their last checkpoint (checkpoint.every_n_train_steps=200 +
+resume=LAST), so a crash costs at most ~200 steps + one recompile.
+Supervise with e.g.:  for i in $(seq 8); do python scripts/bench_full_pipeline.py && break; sleep 30; done
 """
 
 import json
@@ -95,8 +104,10 @@ def main():
 
     import launch
 
-    root = tempfile.mkdtemp(prefix="pipeline_")
+    root = os.environ.get("PIPELINE_OUT_DIR") or tempfile.mkdtemp(prefix="pipeline_")
+    os.makedirs(root, exist_ok=True)
     out_root = os.path.join(root, "outputs")
+    ledger_path = os.path.join(root, "pipeline_stages.json")
     L = 8 if tiny else 32
     H = 64 if tiny else 512
     reuse = os.environ.get("PIPELINE_FRAMES_DIR")
@@ -108,20 +119,42 @@ def main():
     else:
         img, frames_dir = make_assets(root, L=L, H=H, W=H)
 
+    # stage ledger: accumulated seconds + done flags, persisted across crash
+    # restarts of the tunneled-TPU process
     stages = {}
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            stages = json.load(f)
+
+    def _save_ledger():
+        with open(ledger_path, "w") as f:
+            json.dump(stages, f, indent=2)
+
     steps = {"static": 30 if tiny else 600,
              "refine": 5 if tiny else 2000,
              "dynamic": 5 if tiny else 2000}
 
     def timed(name, n_steps, fn):
+        st = stages.setdefault(name, {"seconds": 0.0, "done": False,
+                                      "attempts": 0})
+        if st.get("done"):
+            print(f"[pipeline] {name}: done in a previous attempt "
+                  f"({st['seconds']}s), skipping", flush=True)
+            return
+        st["attempts"] += 1
         t0 = time.perf_counter()
-        fn()
-        dt = time.perf_counter() - t0
-        stages[name] = {"seconds": round(dt, 1)}
+        try:
+            fn()
+        finally:
+            st["seconds"] = round(st["seconds"] + time.perf_counter() - t0, 1)
+            _save_ledger()
+        st["done"] = True
         if n_steps:
-            stages[name]["steps"] = n_steps
-            stages[name]["ms_per_step_incl_compile"] = round(dt / n_steps * 1e3, 1)
-        print(f"[pipeline] {name}: {dt:.1f}s", flush=True)
+            st["steps"] = n_steps
+            st["ms_per_step_incl_compile"] = round(st["seconds"] / n_steps * 1e3, 1)
+        _save_ledger()
+        print(f"[pipeline] {name}: {st['seconds']}s "
+              f"({st['attempts']} attempt(s))", flush=True)
 
     guidance = ["system.guidance.pretrained_model_name_or_path=random:0",
                 "system.guidance.use_clip=false"]
@@ -138,6 +171,11 @@ def main():
             "system.renderer.backend=xla", "system.renderer.tile_capacity=512",
         ]
 
+    # mid-stage crash recovery: checkpoint every 200 steps and resume from
+    # LAST on re-attempt (trainer restores the step counter, so C() schedules
+    # and milestones continue correctly)
+    recover = ["checkpoint.every_n_train_steps=200", "resume=LAST"]
+
     # ---- stage 1: static NeRF train (reference sizes = config defaults) ---
     nerf_over = [
         f"data.image_path={img}",
@@ -150,7 +188,7 @@ def main():
         nerf_over += ["system.exporter.isosurface_resolution=48"]
     timed("static_nerf_600", steps["static"],
           lambda: launch.main(_args("stable-zero123.yaml", platform, train=True),
-                              nerf_over))
+                              nerf_over + recover))
 
     # ---- stage 2: coarse OBJ export (marching isosurface) -----------------
     timed("mc_export", 0,
@@ -186,7 +224,7 @@ def main():
     ]
     timed("sugar_refine_2000", steps["refine"],
           lambda: launch.main(_args("sugar_static_refine.yaml", platform, train=True),
-                              refine_over))
+                              refine_over + recover))
     refine_ckpt = os.path.join(out_root, "sugar-refine", "refine", "ckpts",
                                f"step_{steps['refine']:08d}")
     assert os.path.isdir(refine_ckpt), "stage-4 checkpoint missing"
@@ -210,7 +248,7 @@ def main():
                      "data.predict_height=64", "data.predict_width=64"]
     timed("dynamic_2000", steps["dynamic"],
           lambda: launch.main(_args("sugar_dynamic_dg.yaml", platform, train=True),
-                              dyn_over))
+                              dyn_over + recover))
 
     # ---- stage 6: 4D textured export ---------------------------------------
     timed("export_4d", 0,
@@ -221,6 +259,7 @@ def main():
     assert len(objs) >= L, f"expected {L} 4D frames, got {len(objs)}"
 
     total = sum(s["seconds"] for s in stages.values())
+    attempts = sum(s.get("attempts", 1) for s in stages.values())
     result = {
         "pipeline": "static600 -> mc-export -> qem5000 -> refine2000@512 -> "
                     "dynamic2000@512x32f -> 4D export (1024^2 texture)",
@@ -231,8 +270,12 @@ def main():
         "stages": stages,
         "total_seconds": round(total, 1),
         "total_minutes": round(total / 60, 2),
+        "attempts_total": attempts,
         "notes": "wall-clock incl. XLA compile; validation disabled "
-                 "(val_check_interval > max_steps) in all stages",
+                 "(val_check_interval > max_steps) in all stages; stages "
+                 "interrupted by TPU-worker crashes accumulate the wasted "
+                 "attempt time (resume=LAST every 200 steps), so crash "
+                 "overhead is INCLUDED in the totals",
     }
     print(json.dumps(result, indent=2))
     if not tiny:

@@ -146,3 +146,75 @@ def test_dynamic_step_depth_normal_losses():
     # grads stay finite with the new terms on
     for leaf in jax.tree.leaves(state.deform_params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_gs_stage_milestone_transition_launch_surface(tmp_path):
+    """VERDICT r4 #6: list-valued heights on a GS stage must be honored with
+    per-milestone COMPILED steps (not pinned to the final size).  Drives
+    sugar_dynamic_dg through launch.py with height=[24,32] and a milestone at
+    step 2, then checks the experiment compiled one step per resolution and
+    the datamodule actually served both sizes."""
+    import launch
+
+    from dreammesh4d_tpu.export.mesh_io import MeshData, save_ply_mesh
+    from dreammesh4d_tpu.utils.procedural import make_icosphere
+
+    _write_frames(str(tmp_path / "frames"), n=4, size=32)
+    m = make_icosphere(2, radius=0.6)
+    mesh = str(tmp_path / "mesh.ply")
+    save_ply_mesh(mesh, MeshData(v_pos=np.asarray(m.v_pos),
+                                 t_pos_idx=np.asarray(m.t_pos_idx)))
+
+    class Args:
+        train = True
+        validate = test = export = False
+        typecheck = False
+        platform = "cpu"
+        gpu = "0"
+
+    args = Args()
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args.config = os.path.join(REPO, "configs/sugar_dynamic_dg.yaml")
+    captured = {}
+    from dreammesh4d_tpu.systems import assembly
+
+    orig_cls = assembly.EXPERIMENTS["sugar-4dgen-system"]
+
+    class Spy(orig_cls):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            captured["exp"] = self
+
+    assembly.EXPERIMENTS["sugar-4dgen-system"] = Spy
+    try:
+        launch.main(args, [
+            "system.guidance.pretrained_model_name_or_path=none",
+            f"data.video_frames_dir={tmp_path / 'frames'}",
+            "data.height=[24,32]", "data.width=[24,32]",
+            "data.resolution_milestones=[2]",
+            "data.num_frames=2",
+            "data.random_camera.height=24", "data.random_camera.width=24",
+            "data.random_camera.batch_size=2",
+            "system.geometry.num_frames=4",
+            f"system.geometry.surface_mesh_to_bind_path={mesh}",
+            "system.geometry.n_dg_nodes=16", "system.geometry.dg_node_connectivity=4",
+            "system.geometry.dist_mode=eucdisc",
+            "system.geometry.deformation.base_resolution=[8,8,8,4]",
+            "system.geometry.deformation.multires=[1,2]",
+            "system.renderer.backend=xla", "system.renderer.tile_capacity=128",
+            "trainer.max_steps=4", "trainer.val_check_interval=100",
+            f"exp_root_dir={tmp_path}/out", "use_timestamp=false", "tag=ms",
+        ])
+    finally:
+        assembly.EXPERIMENTS["sugar-4dgen-system"] = orig_cls
+
+    exp = captured["exp"]
+    # one compiled step per milestone resolution, keyed (rc_h, rc_w, ref_h, ref_w)
+    ref_sizes = sorted({k[2:] for k in exp._steps})
+    assert ref_sizes == [(24, 24), (32, 32)], exp._steps.keys()
+    # frame bank cached at BOTH resolutions (served, not pinned)
+    assert (24, 24) in exp.data._frames_cache
+    assert (32, 32) in exp.data._frames_cache
+    assert not exp.data._pinned
+    trial = os.path.join(str(tmp_path), "out", "sugar-dynamic", "ms")
+    assert os.path.isdir(os.path.join(trial, "ckpts", "step_00000004"))
