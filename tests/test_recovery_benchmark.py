@@ -154,12 +154,26 @@ def run_recovery(tmp_path, H=64, W=64, L=16, static_steps=1000,
     # HELD-OUT view (novel azimuth; single-view supervision — quality decays
     # with angular distance from the reference view).  The matched no-motion
     # predictor for this column is the REST pose rendered at the SAME novel
-    # azimuth (GT is procedural, so it exists).
-    hv_render = np.asarray(render(ts[L // 2], azimuth=15.0), np.float32)
-    hv_gt = np.asarray(gt(ts[L // 2], azimuth=15.0)[0], np.float32)
+    # azimuth (GT is procedural, so it exists).  VERDICT r4 #4: the old gate
+    # floored the novel view at 15.5 dB — BELOW the ref-view no-motion
+    # baseline — so a model worse than a static predictor could pass.  The
+    # root-cause sweep below renders the novel view at increasing angular
+    # distance with its matched baseline at each angle: the honest gate is
+    # the RELATIVE margin over the matched rest-pose predictor (the model
+    # must track motion at the novel view), which holds at every angle,
+    # while absolute PSNR decays with angle (the single-view-supervision
+    # ceiling — no loss term sees any azimuth but 0 when SDS is off).
+    t_hv = ts[L // 2]
+    for az in (5.0, 15.0, 30.0, 60.0):
+        hv_r = np.asarray(render(t_hv, azimuth=az), np.float32)
+        hv_g = np.asarray(gt(t_hv, azimuth=az)[0], np.float32)
+        hv_b = np.asarray(gt(ts[0], azimuth=az)[0], np.float32)
+        suffix = "" if az == 15.0 else f"_az{int(az)}"
+        res[f"psnr_heldout_view{suffix}"] = _psnr(hv_r, hv_g)
+        res[f"psnr_heldout_view_baseline{suffix}"] = _psnr(hv_b, hv_g)
+    hv_render = np.asarray(render(t_hv, azimuth=15.0), np.float32)
+    hv_gt = np.asarray(gt(t_hv, azimuth=15.0)[0], np.float32)
     hv_rest = np.asarray(gt(ts[0], azimuth=15.0)[0], np.float32)
-    res["psnr_heldout_view"] = _psnr(hv_render, hv_gt)
-    res["psnr_heldout_view_baseline"] = _psnr(hv_rest, hv_gt)
 
     # ----- LPIPS / CLIP-similarity / SSIM columns (BASELINE.json north-star
     # currency, arXiv 2410.06756 protocol).  Converted weights plug in via
@@ -200,15 +214,35 @@ def run_recovery(tmp_path, H=64, W=64, L=16, static_steps=1000,
     return res
 
 
+def assert_recovery_gate(res):
+    """Multi-metric motion-margin gate (VERDICT r4 #3/#4), shared by the CPU
+    tier and scripts/bench_recovery.py so the committed RECOVERY.json is
+    produced by the same asserts the suite runs.
+
+    Floors on >=2 metrics: PSNR margins AND an SSIM margin (LPIPS margin is
+    additionally asserted directionally — with random features it is a
+    relative instrument, so the requirement is only that the tracked model
+    is not perceptually WORSE than the static predictor).  The held-out-view
+    floor is RELATIVE to its matched novel-azimuth rest-pose baseline —
+    strictly above the baseline, closing the round-3/4 gap where the
+    absolute floor (15.5 dB) sat below the no-motion baseline."""
+    # calibrated 2026-08-19 (PERF.md): trained 24.0-26.6 dB, heldout-t
+    # 23.7/25.8 dB, novel@15 deg 17.6 dB, no-motion baseline 16.2-18.3 dB.
+    assert res["psnr_trained_t"] >= 22.0, res
+    assert res["psnr_heldout_t"] >= 21.0, res
+    # the model must beat the rest-pose predictor by >=4 dB at
+    # max-deformation frames — silhouette overlap alone cannot pass this
+    assert res["psnr_trained_t"] >= res["psnr_no_motion_baseline"] + 4.0, res
+    # metric #2: SSIM must also clear the no-motion baseline by a margin
+    assert res["ssim_trained_t"] >= res["ssim_no_motion_baseline"] + 0.05, res
+    # LPIPS: lower = better; tracked model must not be perceptually worse
+    assert res["lpips_trained_t"] <= res["lpips_no_motion_baseline"], res
+    # held-out view: ABOVE the matched novel-azimuth static predictor
+    assert res["psnr_heldout_view"] >= res["psnr_heldout_view_baseline"], res
+    assert res["psnr_heldout_view"] >= 15.5, res
+
+
 def test_recovery_benchmark(tmp_path):
     res = run_recovery(tmp_path)
     print("recovery PSNRs:", res)
-    # calibrated 2026-08-19 (PERF.md): trained 24.0-26.6 dB, heldout-t
-    # 23.7/25.8 dB, novel@15 deg 17.6 dB, no-motion baseline 16.2-18.3 dB.
-    # The margin assertion is the real gate: the model must beat the
-    # rest-pose predictor by >=4 dB at max-deformation frames — silhouette
-    # overlap alone cannot pass it
-    assert res["psnr_trained_t"] >= 22.0, res
-    assert res["psnr_heldout_t"] >= 21.0, res
-    assert res["psnr_heldout_view"] >= 15.5, res
-    assert res["psnr_trained_t"] >= res["psnr_no_motion_baseline"] + 4.0, res
+    assert_recovery_gate(res)
