@@ -77,14 +77,27 @@ def hashgrid_encode(params: Dict[str, jnp.ndarray], cfg: HashGridConfig,
     multiplies per-level features (progressive training)."""
     tables = params["tables"]
     T = tables.shape[1]
+    F = tables.shape[2]
     shape = x.shape[:-1]
     xf = x.reshape(-1, 3)
-    feats = []
+    # PLANAR feature chains: the natural formulation (row-gather (N, F=2)
+    # per corner, accumulate (N, F)) makes every gather/multiply temp an
+    # f32[N,2]{1,0:T(8,128)} buffer — the 2-wide minor dim pads to 128 lanes
+    # (64x expansion, 256 MB at N=2^19 sample points) and the renderer's
+    # remat'd march loop keeps ~20 such clones live at once: observed 5+ GB
+    # of HLO temps OOMing the v5e HBM on the stage-1 NeRF step.  Keeping each
+    # feature as its own (N,) chain (1-D gathers from the flattened (T*F,)
+    # table, planar weight multiplies) removes ALL lane padding from the hot
+    # loop; only the final (N, L*F=32) stack pads (32 -> 128 = 4x), and that
+    # buffer is exactly what the MLP consumes.
+    tables_flat = tables.reshape(tables.shape[0], T * F)
+    cols = []  # L*F planar (N,) chains, level-major / feature-minor
     for l, res in enumerate(cfg.level_resolutions()):
         xs = xf * res  # [0, res]
         x0 = jnp.clip(jnp.floor(xs), 0, res - 1).astype(jnp.uint32)
         f = xs - x0.astype(jnp.float32)
-        acc = 0.0
+        tbl = tables_flat[l]
+        accs = [jnp.zeros((), jnp.float32)] * F
         for corner in range(8):
             dx, dy, dz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
             ix = x0[:, 0] + dx
@@ -96,11 +109,13 @@ def hashgrid_encode(params: Dict[str, jnp.ndarray], cfg: HashGridConfig,
                 * (f[:, 1] if dy else 1 - f[:, 1])
                 * (f[:, 2] if dz else 1 - f[:, 2])
             )
-            acc = acc + tables[l, idx.astype(jnp.int32)] * w[:, None]
-        feats.append(acc)
-    out = jnp.stack(feats, -2)  # (N, L, F)
-    if level_mask is not None:
-        out = out * level_mask[None, :, None]
+            base = idx.astype(jnp.int32) * F
+            for j in range(F):
+                accs[j] = accs[j] + tbl[base + j] * w
+        if level_mask is not None:
+            accs = [a * level_mask[l] for a in accs]
+        cols.extend(accs)
+    out = jnp.stack(cols, -1)  # (N, L*F)
     return out.reshape(shape + (cfg.out_dim,))
 
 

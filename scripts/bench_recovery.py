@@ -52,7 +52,7 @@ def main():
     # same asserts as the slow-tier test — the committed artifact is gated
     from test_recovery_benchmark import assert_recovery_gate
 
-    assert_recovery_gate(res)
+    assert_recovery_gate(res, tier="full" if H >= 128 else "cpu")
     with open(os.path.join(REPO, "RECOVERY.json"), "w") as f:
         json.dump(res, f, indent=2)
 
