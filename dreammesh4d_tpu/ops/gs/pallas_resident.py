@@ -307,6 +307,18 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
             rows = pairrows_ref[0, pl.ds(g0, group), :]
         else:
             rows = _read_group_rows(table_ref, idx_smem, slot_base, g0, group)
+        # RMW read phase HOISTED above the VPU-heavy geometry/gradient block:
+        # the 128 indexed sublane reads are latency-bound (they occupy no
+        # vector ALU — the 23% VPU-idle gap in the round-4 roofline), and
+        # issuing them first lets them overlap the (G,P) compute below.
+        # Safe: pair indices within a tile are DISTINCT, so no write in this
+        # tile (all writes happen after) can alias a row read here.
+        sent = grads_ref.shape[0] - 1
+        idxs = [
+            jnp.where(g0 + j < count, idx_smem[slot_base + g0 + j], sent)
+            for j in range(group)
+        ]
+        cur = jnp.stack([grads_ref[i, :] for i in idxs], 0)
         alpha, power, dx, dy, live, clamped = _group_geometry(
             rows, px, py, g0, count)
         t_excl, t_out = _exclusive_transmittance(alpha, trans, tri_s)
@@ -337,23 +349,16 @@ def _bwd_kernel_accum(n_channels: int, cap: int, group: int, mm_bf16: bool,
         grad_rows = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_col, pad, d_op, tail], axis=1
         )
-        # RMW as batched gather -> one vector add -> batched scatter: the
-        # interleaved read-add-write per row chains 128 RMWs the compiler
-        # must serialize (it cannot prove idx_j != idx_{j+1}); split phases
-        # let the indexed reads/writes pipeline.  Pair indices within a tile
-        # are DISTINCT, so phase-split equals accumulation — but only for
-        # IN-COUNT rows: the SMEM window rows past ``count`` hold the NEXT
-        # tiles' pair indices (segments are contiguous), which can repeat an
-        # in-count gaussian and last-write-wins its stale pre-add value.
-        # Divert every out-of-count row to the sentinel row (its grad_rows
-        # are exactly zero under the live mask, so duplicate writes of
-        # cur+0 are no-ops there).
-        sent = grads_ref.shape[0] - 1
-        idxs = [
-            jnp.where(g0 + j < count, idx_smem[slot_base + g0 + j], sent)
-            for j in range(group)
-        ]
-        cur = jnp.stack([grads_ref[i, :] for i in idxs], 0)
+        # RMW write phase (reads hoisted above): batched gather -> one vector
+        # add -> batched scatter — the interleaved read-add-write per row
+        # chains 128 RMWs the compiler must serialize (it cannot prove
+        # idx_j != idx_{j+1}); split phases let the indexed reads/writes
+        # pipeline.  Out-of-count rows divert to the sentinel row: the SMEM
+        # window rows past ``count`` hold the NEXT tiles' pair indices
+        # (segments are contiguous), which can repeat an in-count gaussian
+        # and last-write-wins its stale pre-add value; sentinel grad_rows
+        # are exactly zero under the live mask, so duplicate cur+0 writes
+        # are no-ops there.
         new_rows = cur + grad_rows
         for j in range(group):
             grads_ref[idxs[j], :] = new_rows[j, :]

@@ -10,6 +10,9 @@ offline hash fallback is exercised separately for determinism).
 """
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick
 
 from dreammesh4d_tpu.models.guidance.stable_diffusion import (
     PromptProcessorConfig,

@@ -12,6 +12,8 @@ wiring scales updates exactly like a torch LR would.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from dreammesh4d_tpu.systems.optim import (
     jnp_factor_fn,
     parse_scheduler,
