@@ -17,7 +17,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.hashgrid import HashGridConfig, hashgrid_encode, init_hashgrid
+from ...ops.hashgrid import (
+    HashGridConfig,
+    hashgrid_encode,
+    hashgrid_encode_cell,
+    init_hashgrid,
+    init_hashgrid_cell,
+)
 
 
 @dataclass
@@ -55,12 +61,49 @@ def _mlp_apply(params, x):
     return x
 
 
+def _use_pallas_encode() -> bool:
+    """Cell-layout fast path: the Pallas kernel on TPU, the XLA twin
+    elsewhere (CPU tests / fallback)."""
+    import jax as _jax
+
+    return _jax.default_backend() not in ("cpu",)
+
+
+def _encode(params, cfg: ImplicitVolumeConfig, x, level_mask):
+    """Dispatch on hashgrid.layout: NGP corner tables (reference
+    parameterization) or the TPU-first cell-packed layout."""
+    if cfg.hashgrid.layout == "cell":
+        if _use_pallas_encode():
+            from ...ops.hashgrid_pallas import encode_cell_with_grad
+
+            feats, _ = encode_cell_with_grad(params["encoding"], cfg.hashgrid,
+                                             x, level_mask)
+            return feats
+        return hashgrid_encode_cell(params["encoding"], cfg.hashgrid, x,
+                                    level_mask)
+    return hashgrid_encode(params["encoding"], cfg.hashgrid, x, level_mask)
+
+
+def _encode_with_grad(params, cfg: ImplicitVolumeConfig, x, level_mask):
+    """(feats, dfeats/dx) for the cell layout (one row pass serves density,
+    features AND analytic normals)."""
+    if _use_pallas_encode():
+        from ...ops.hashgrid_pallas import encode_cell_with_grad
+
+        return encode_cell_with_grad(params["encoding"], cfg.hashgrid, x,
+                                     level_mask)
+    return hashgrid_encode_cell(params["encoding"], cfg.hashgrid, x,
+                                level_mask, with_grad=True)
+
+
 def init_implicit_volume(cfg: ImplicitVolumeConfig, rng: jax.Array) -> Dict[str, Any]:
     k1, k2, k3 = jax.random.split(rng, 3)
     enc_dim = cfg.hashgrid.out_dim
     dims = [enc_dim] + [cfg.n_neurons] * cfg.n_hidden_layers
     return {
-        "encoding": init_hashgrid(cfg.hashgrid, k1),
+        "encoding": (init_hashgrid_cell(cfg.hashgrid, k1)
+                     if cfg.hashgrid.layout == "cell"
+                     else init_hashgrid(cfg.hashgrid, k1)),
         "density_mlp": _mlp_init(k2, dims + [1]),
         "feature_mlp": _mlp_init(k3, dims + [cfg.n_feature_dims]),
     }
@@ -98,7 +141,7 @@ def forward_density(params, cfg: ImplicitVolumeConfig, points: jnp.ndarray,
                     level_mask=None) -> jnp.ndarray:
     """(..., 3) world points -> (..., 1) activated density."""
     x = _contract(cfg, points)
-    enc = hashgrid_encode(params["encoding"], cfg.hashgrid, x, level_mask)
+    enc = _encode(params, cfg, x, level_mask)
     raw = _mlp_apply(params["density_mlp"], enc)
     return _activate_density(cfg, raw + density_bias(cfg, points))
 
@@ -107,7 +150,7 @@ def forward_field(params, cfg: ImplicitVolumeConfig, points: jnp.ndarray,
                   level_mask=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (density (...,1), features (...,F))."""
     x = _contract(cfg, points)
-    enc = hashgrid_encode(params["encoding"], cfg.hashgrid, x, level_mask)
+    enc = _encode(params, cfg, x, level_mask)
     raw = _mlp_apply(params["density_mlp"], enc)
     density = _activate_density(cfg, raw + density_bias(cfg, points))
     features = _mlp_apply(params["feature_mlp"], enc)
@@ -118,6 +161,32 @@ def forward_with_normal(params, cfg: ImplicitVolumeConfig, points: jnp.ndarray,
                         level_mask=None):
     """-> (density, features, normals) with analytic or finite-difference
     normals (implicit_volume.py:137-180); normal = -∇σ normalized."""
+    if cfg.hashgrid.layout == "cell" and cfg.normal_type == "analytic":
+        # ONE fused row pass serves density, features AND ∇σ: the kernel
+        # returns d enc/dx alongside the features, so the analytic normal is
+        # chain-ruled through the (tiny) density MLP + bias instead of
+        # re-encoding under jax.grad (the corner path encodes TWICE)
+        x = _contract(cfg, points)
+        enc, denc = _encode_with_grad(params, cfg, x, level_mask)
+        raw = _mlp_apply(params["density_mlp"], enc)
+        bias = density_bias(cfg, points)
+        density = _activate_density(cfg, raw + bias)
+        features = _mlp_apply(params["feature_mlp"], enc)
+
+        # ∇_pts σ = act'·(J_mlp·denc / (2r) + ∇bias); per-point chain rule
+        # via vjp over (enc, points) keeps everything loss-differentiable
+        def sig_fn(e, p):
+            return _activate_density(
+                cfg, _mlp_apply(params["density_mlp"], e) + density_bias(cfg, p))
+
+        _, vjp = jax.vjp(sig_fn, enc, points)
+        d_enc, d_pts = vjp(jnp.ones_like(density))
+        # denc is d enc / d x with x the [0,1] contracted coords
+        g = (jnp.einsum("...f,...fd->...d", d_enc, denc)
+             / (2.0 * cfg.radius) + d_pts)
+        from ...ops.safe_math import safe_normalize
+
+        return density, features, -safe_normalize(g)
     density, features = forward_field(params, cfg, points, level_mask)
     if cfg.normal_type == "analytic":
         grad_fn = jax.grad(

@@ -81,7 +81,9 @@ def make_occgrid_update(geo_cfg: ImplicitVolumeConfig, rcfg: NeRFRendererConfig)
     # nerfacc occ_eval_fn: sigma * render_step_size
     march_step = 2.0 * math.sqrt(3.0) * r / max(rcfg.occ_candidates, 1)
 
-    @jax.jit
+    from ...ops.hashgrid_pallas import tpu_jit
+
+    @tpu_jit
     def update(state: OccGridState, geo_params, rng, level_mask=None):
         jitter = (jax.random.uniform(rng, centers.shape) - 0.5) * cell
         sigma, _ = forward_field(geo_params, geo_cfg, centers + jitter, level_mask)
@@ -340,4 +342,8 @@ def make_image_renderer(geo_cfg, rcfg, material=None, ray_chunk: int = 16384):
         out = {k: v.reshape(-1, v.shape[-1])[:n].reshape(H, W, -1) for k, v in chunks.items()}
         return out
 
-    return render_image
+    from ...ops.hashgrid_pallas import tpu_jit
+
+    # jitted so TPU compiles carry the raised scoped-vmem limit the
+    # cell-layout hashgrid kernel needs (validate/export paths reach it)
+    return tpu_jit(render_image, static_argnames=("ambient_ratio",))

@@ -36,6 +36,13 @@ class HashGridConfig:
     start_level: int = 4
     start_step: int = 0
     update_steps: int = 1000
+    # "corner" = instant-NGP corner-shared tables (T, F) — exact reference
+    # parameterization (networks.py HashGrid).  "cell" = TPU-first
+    # cell-packed tables (T, 8F): one row access per (point, level) — see
+    # the cell section below + ops/hashgrid_pallas.py.  With layout=cell,
+    # log2_hashmap_size counts CELL rows (shipped configs use 16: 2^16·16
+    # params/level == the NGP default 2^19·2).
+    layout: str = "corner"
 
     @property
     def out_dim(self) -> int:
@@ -139,3 +146,130 @@ def frequency_encode(x: jnp.ndarray, n_frequencies: int = 6) -> jnp.ndarray:
     ang = x[..., None, :] * freqs[:, None]
     enc = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], -1)
     return enc.reshape(x.shape[:-1] + (-1,))
+
+
+# ---------------------------------------------------------------------------
+# CELL-PACKED layout ("cell"): TPU-first redesign of the hash encoding.
+#
+# Round-5 profiling (PERF.md "stage-1 NeRF"): XLA's TPU gather/scatter is
+# LATENCY-BOUND PER INDEX (~4-10 ms per 524k-index op regardless of width),
+# and the NGP corner layout issues 8 corner gathers x L levels x fwd/bwd/
+# normals ≈ 384 index ops per step — 30+ s/step at stage-1 sizes.  The cell
+# layout stores ALL EIGHT corner feature vectors of a cell contiguously in
+# one (8·F,)-row, so each (point, level) costs ONE row access:
+#
+#   tables_cell: (L, T_cells, 8*F); index = dense cell id (res^3 <= T) or
+#   spatial hash of the cell coordinate; trilinear weights applied across
+#   the row's 8 corner slots.
+#
+# Param count per level is preserved by construction (T_cells * 8F ==
+# T_corner * F when log2_hashmap_size drops by 3... the shipped configs use
+# log2=16 cells vs the NGP 2^19 corners: 2^16*16 == 2^19*2 == 2^20).  The
+# trade: corners are NOT shared between adjacent cells, so the field is
+# C0-discontinuous at cell faces at the level's resolution — the same class
+# of pseudo-random seam NGP's hash collisions already introduce at hashed
+# levels, and at hashed-level cell sizes (< 1/100 scene units) it is
+# sub-pixel at the shipped render resolutions.  Dense (coarse) levels keep
+# exact dense indexing.
+#
+# The fast path on TPU is ops/hashgrid_pallas.py (VMEM-resident rows, SMEM-
+# indexed reads, in-kernel RMW gradient accumulation — the rasterizer's
+# proven machinery); this XLA twin defines the semantics and serves CPU.
+# ---------------------------------------------------------------------------
+
+
+def init_hashgrid_cell(cfg: HashGridConfig, rng: jax.Array) -> Dict[str, jnp.ndarray]:
+    T = 1 << cfg.log2_hashmap_size
+    tables = jax.random.uniform(
+        rng, (cfg.n_levels, T, 8 * cfg.n_features_per_level), jnp.float32,
+        -1e-4, 1e-4)
+    return {"tables": tables}
+
+
+def _cell_index(x0: jnp.ndarray, res: int, table_size: int) -> jnp.ndarray:
+    """x0: (..., 3) int cell coords in [0, res-1] -> (...,) int32 index."""
+    n_dense = res ** 3
+    ix, iy, iz = x0[..., 0], x0[..., 1], x0[..., 2]
+    if n_dense <= table_size:
+        return ((ix * res + iy) * res + iz).astype(jnp.int32)
+    h = (
+        (ix.astype(jnp.uint32) * jnp.uint32(_PRIMES[0]))
+        ^ (iy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+        ^ (iz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+    )
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
+def cell_indices(cfg: HashGridConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) in [0,1] -> (L, N) int32 row indices (precomputed host of the
+    Pallas kernel's SMEM windows; cheap planar uint32 math)."""
+    T = 1 << cfg.log2_hashmap_size
+    xf = x.reshape(-1, 3)
+    out = []
+    for res in cfg.level_resolutions():
+        x0 = jnp.clip(jnp.floor(xf * res), 0, res - 1).astype(jnp.int32)
+        out.append(_cell_index(x0, res, T))
+    return jnp.stack(out, 0)
+
+
+def _corner_weights(u: jnp.ndarray):
+    """u: (..., 3) fractional coords -> list of 8 (…,) trilinear weights and
+    their d/du per axis, corner order c = dx | dy<<1 | dz<<2 (matching the
+    row slot order)."""
+    w, dw = [], []
+    for c in range(8):
+        dx, dy, dz = c & 1, (c >> 1) & 1, (c >> 2) & 1
+        fx = u[..., 0] if dx else 1.0 - u[..., 0]
+        fy = u[..., 1] if dy else 1.0 - u[..., 1]
+        fz = u[..., 2] if dz else 1.0 - u[..., 2]
+        sx = 1.0 if dx else -1.0
+        sy = 1.0 if dy else -1.0
+        sz = 1.0 if dz else -1.0
+        w.append(fx * fy * fz)
+        dw.append((sx * fy * fz, fx * sy * fz, fx * fy * sz))
+    return w, dw
+
+
+def hashgrid_encode_cell(params, cfg: HashGridConfig, x: jnp.ndarray,
+                         level_mask=None, with_grad: bool = False):
+    """Cell-layout encode, XLA twin of the Pallas kernel.
+
+    Returns feats (..., L*F), and with ``with_grad`` also dfeats
+    (..., L*F, 3) = d feats / d x (x in the encode's [0,1] coords — callers
+    scale by their contraction Jacobian).  Gradients w.r.t. ``x`` through
+    THIS function's outputs flow normally under XLA; the Pallas kernel's
+    custom VJP returns exact table gradients and first-order-exact d_x (see
+    hashgrid_pallas)."""
+    tables = params["tables"]
+    F = cfg.n_features_per_level
+    T = tables.shape[1]
+    shape = x.shape[:-1]
+    xf = x.reshape(-1, 3)
+    N = xf.shape[0]
+    feats_cols = []
+    grad_cols = []
+    for l, res in enumerate(cfg.level_resolutions()):
+        xs = xf * res
+        x0 = jnp.clip(jnp.floor(xs), 0, res - 1).astype(jnp.int32)
+        u = xs - x0.astype(jnp.float32)
+        rows = tables[l][_cell_index(x0, res, T)]  # (N, 8F)
+        w, dw = _corner_weights(u)
+        m = 1.0 if level_mask is None else level_mask[l]
+        for f in range(F):
+            acc = 0.0
+            for c in range(8):
+                acc = acc + w[c] * rows[:, c * F + f]
+            feats_cols.append(acc * m)
+        if with_grad:
+            for f in range(F):
+                for d in range(3):
+                    g = 0.0
+                    for c in range(8):
+                        g = g + dw[c][d] * rows[:, c * F + f]
+                    grad_cols.append(g * (res * 1.0) * m)
+    feats = jnp.stack(feats_cols, -1).reshape(shape + (cfg.out_dim,))
+    if not with_grad:
+        return feats
+    # grad_cols order: level-major, then f, then d -> (N, L*F, 3)
+    dfeats = jnp.stack(grad_cols, -1).reshape(-1, cfg.n_levels * F, 3)
+    return feats, dfeats.reshape(shape + (cfg.out_dim, 3))

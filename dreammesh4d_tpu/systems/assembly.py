@@ -855,6 +855,7 @@ class Zero123Experiment:
             log2_hashmap_size=int(pos_enc.get("log2_hashmap_size", 19)),
             base_resolution=int(pos_enc.get("base_resolution", 16)),
             per_level_scale=float(pos_enc.get("per_level_scale", 1.447269237440378)),
+            layout=str(pos_enc.get("layout", "corner")),
         )
         self.geo_cfg = ImplicitVolumeConfig(
             radius=float(geo_d.get("radius", 2.0)),

@@ -50,6 +50,7 @@ def _build_implicit_volume(system: dict, n_feature_dims: int = 3):
         log2_hashmap_size=int(pos_enc.get("log2_hashmap_size", 19)),
         base_resolution=int(pos_enc.get("base_resolution", 16)),
         per_level_scale=float(pos_enc.get("per_level_scale", 1.447269237440378)),
+        layout=str(pos_enc.get("layout", "corner")),
     )
     geo_cfg = ImplicitVolumeConfig(
         radius=float(geo_d.get("radius", 2.0)),

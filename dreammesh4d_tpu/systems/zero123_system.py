@@ -200,7 +200,9 @@ def make_zero123_train_step(
         metrics["psnr"] = -10.0 * jnp.log10(terms["rgb"] + 1e-8)
         return total, metrics
 
-    @jax.jit
+    from ..ops.hashgrid_pallas import tpu_jit
+
+    @tpu_jit
     def train_step(state: NeRFTrainState, batch, rng, level_mask, ambient_ratio,
                    guidance_state=None, occ_state=None):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -116,6 +116,8 @@ def main(args, extras) -> None:
         checkpoint_every=int(dict(cfg.checkpoint or {}).get("every_n_train_steps",
                                                             tcfg_d.get("max_steps", 2000))),
         loggers=tuple(tcfg_d.get("loggers", ("csv",))),
+        profile_start_step=int(tcfg_d.get("profile_start_step", -1)),
+        profile_steps=int(tcfg_d.get("profile_steps", 5)),
     )
     trainer = Trainer(tcfg, cfg.trial_dir)
 
