@@ -216,10 +216,14 @@ def export_density_grid(params, cfg: ImplicitVolumeConfig, resolution: int,
                         chunk: int = 65536, level_mask=None) -> np.ndarray:
     """Dense density grid over the bbox for mc-cpu export
     (geometry/base.py:119-180 coarse pass)."""
+    from ...ops.hashgrid_pallas import tpu_jit
+
     lin = np.linspace(-cfg.radius, cfg.radius, resolution, dtype=np.float32)
     out = np.zeros((resolution**3,), np.float32)
     grid = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
-    fn = jax.jit(lambda p: forward_density(params, cfg, p, level_mask)[..., 0])
+    # tpu_jit: the cell-layout encode kernel needs the raised scoped-vmem
+    # limit (the export chunk's whole kernel output can be stack-placed)
+    fn = tpu_jit(lambda p: forward_density(params, cfg, p, level_mask)[..., 0])
     for i in range(0, len(grid), chunk):
         out[i: i + chunk] = np.asarray(fn(jnp.asarray(grid[i: i + chunk])))
     return out.reshape(resolution, resolution, resolution)

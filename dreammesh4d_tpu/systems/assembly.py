@@ -1014,8 +1014,13 @@ class Zero123Experiment:
         r = self.geo_cfg.radius
         mesh = extract_isosurface(grid, None, (-r,) * 3, (r,) * 3)
         if mesh.n_verts:
-            _, feats = forward_field(self.state.geo_params, self.geo_cfg,
-                                     jnp.asarray(mesh.v_pos))
+            from ..ops.hashgrid_pallas import tpu_jit
+
+            # tpu_jit: the cell-layout encode kernel needs the raised
+            # scoped-vmem limit at vertex-count batch sizes
+            geo_cfg = self.geo_cfg
+            _, feats = tpu_jit(lambda p, x: forward_field(p, geo_cfg, x))(
+                self.state.geo_params, jnp.asarray(mesh.v_pos))
             mesh.v_rgb = np.asarray(jax.nn.sigmoid(feats))
         save_obj(self.saver.path("model.obj"), mesh)
 
