@@ -96,23 +96,50 @@ def _group_fracs(pts_g, res):
     return us
 
 
-def _dma_idx(idx_hbm, idx_smem, sem, l, b, nb):
+def _dma_idx(idx_hbm, idx_smem, sem, l, b, nb, slot):
+    """Copy descriptor for flat block index l*nb+b into double-buffer slot
+    ``slot`` (the 2*BLOCK SMEM scratch is indexed at slot*BLOCK)."""
     start = (l * nb + b) * BLOCK
-    return pltpu.make_async_copy(idx_hbm.at[pl.ds(start, BLOCK)], idx_smem, sem)
+    return pltpu.make_async_copy(idx_hbm.at[pl.ds(start, BLOCK)],
+                                 idx_smem.at[pl.ds(slot * BLOCK, BLOCK)],
+                                 sem.at[slot])
+
+
+def _idx_prefetch(idx_hbm, idx_smem, sem):
+    """Double-buffered SMEM index windows across the (l, b) grid (the
+    rasterizer's _seg_prefetch pattern): start block k+1's copy before
+    waiting on block k's, so the 4 KB fetch rides under the previous
+    block's compute.  Returns this block's SMEM base offset."""
+    l = pl.program_id(0)
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
+    k = l * nb + b  # flat sequential block id (row-major grid)
+    slot = jax.lax.rem(k, 2)
+
+    @pl.when(k == 0)
+    def _warmup():
+        _dma_idx(idx_hbm, idx_smem, sem, l, b, nb, 0).start()
+
+    nxt = k + 1
+    @pl.when(nxt < pl.num_programs(0) * nb)
+    def _ahead():
+        _dma_idx(idx_hbm, idx_smem, sem, nxt // nb, jax.lax.rem(nxt, nb),
+                 nb, jax.lax.rem(nxt, 2)).start()
+
+    _dma_idx(idx_hbm, idx_smem, sem, l, b, nb, slot).wait()
+    return slot * BLOCK
 
 
 def _fwd_kernel(res_ref, pts_ref, table_ref, idx_hbm,
                 out_ref, idx_smem, sem):
     l = pl.program_id(0)
-    b = pl.program_id(1)
     res = res_ref[l]
-    _dma_idx(idx_hbm, idx_smem, sem, l, b, pl.num_programs(1)).start()
-    _dma_idx(idx_hbm, idx_smem, sem, l, b, pl.num_programs(1)).wait()
+    base = _idx_prefetch(idx_hbm, idx_smem, sem)
     resf = res.astype(jnp.float32)
 
     def group(g, _):
         rows = jnp.stack(
-            [table_ref[0, idx_smem[g * G + j], :] for j in range(G)], 0)
+            [table_ref[0, idx_smem[base + g * G + j], :] for j in range(G)], 0)
         rT = _transpose16(rows, True)  # (16, G) planar
         pts_g = pts_ref[g]  # (3, G)
         chains = _corner_chains(*_group_fracs(pts_g, res))
@@ -138,14 +165,13 @@ def _bwd_kernel(res_ref, pts_ref, gpk_ref, idx_hbm,
                 acc_ref, idx_smem, sem):
     l = pl.program_id(0)
     b = pl.program_id(1)
-    res = res_ref[l]
+    res = res_ref[l]  # noqa: F841 (b used by the init predicate below)
 
     @pl.when(b == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    _dma_idx(idx_hbm, idx_smem, sem, l, b, pl.num_programs(1)).start()
-    _dma_idx(idx_hbm, idx_smem, sem, l, b, pl.num_programs(1)).wait()
+    base = _idx_prefetch(idx_hbm, idx_smem, sem)
     resf = res.astype(jnp.float32)
 
     def group(g, _):
@@ -168,7 +194,7 @@ def _bwd_kernel(res_ref, pts_ref, gpk_ref, idx_hbm,
         # rasterizer's phase-split does NOT apply — read-add-write one row
         # at a time (the compiler serializes the chain; correct over fast)
         for j in range(G):
-            i = idx_smem[g * G + j]
+            i = idx_smem[base + g * G + j]
             acc_ref[0, i, :] = acc_ref[0, i, :] + D_rows[j, :]
         return 0
 
@@ -192,8 +218,8 @@ def _fwd_call(tables, pts_b, idx, resolutions, interpret):
         ],
         out_specs=pl.BlockSpec((1, gpb, 8, G), lambda l, b, *_: (l, b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((BLOCK,), jnp.int32),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.SMEM((2 * BLOCK,), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     return pl.pallas_call(
         _fwd_kernel,
@@ -219,8 +245,8 @@ def _bwd_call(gpacked, pts_b, idx, resolutions, L, T, interpret):
         ],
         out_specs=pl.BlockSpec((1, T, ROW), lambda l, b, *_: (l, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SMEM((BLOCK,), jnp.int32),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.SMEM((2 * BLOCK,), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     return pl.pallas_call(
         _bwd_kernel,
