@@ -143,6 +143,21 @@ def create_sugar(
     faces = np.asarray(mesh.t_pos_idx, np.int64)
     if cfg.mesh_component_min_ratio > 0 and len(faces):
         faces = _largest_components(faces, mesh.n_verts, cfg.mesh_component_min_ratio)
+    # prune degenerate faces (zero/near-zero area slivers — QEM-simplified
+    # real meshes carry them, and a sliver's face frame / normalized normal
+    # has ~rsqrt(eps)-scale gradients that exploded the refine stage within
+    # ~10 steps in the round-5 pipeline run; the reference's pymeshlab
+    # cleaning removes them upstream, geometry/mesh_utils.py:44-150)
+    if len(faces):
+        vp = np.asarray(mesh.v_pos, np.float32)
+        fv0 = vp[faces]
+        n_raw = np.cross(fv0[:, 1] - fv0[:, 0], fv0[:, 2] - fv0[:, 0])
+        a2 = (n_raw * n_raw).sum(-1)
+        s2 = np.maximum(((fv0[:, 1] - fv0[:, 0]) ** 2).sum(-1)
+                        * ((fv0[:, 2] - fv0[:, 0]) ** 2).sum(-1), 1e-30)
+        keep = a2 > 1e-8 * s2
+        if not keep.all():
+            faces = faces[keep]
     # compact to used vertices
     used = np.unique(faces)
     remap = -np.ones(mesh.n_verts, np.int64)

@@ -139,23 +139,42 @@ def cotangent_weights(verts: np.ndarray, faces: np.ndarray, ring: OneRing,
 def normal_consistency_loss(verts: jnp.ndarray, faces: jnp.ndarray,
                             face_pairs: jnp.ndarray) -> jnp.ndarray:
     """Mean (1 - cos) between normals of adjacent faces — pytorch3d
-    ``mesh_normal_consistency`` equivalent (used at sugar_4dgen.py:221-230)."""
-    n = face_normals(verts, faces)
+    ``mesh_normal_consistency`` equivalent (used at sugar_4dgen.py:221-230).
+
+    Degenerate (near-zero-area) faces are EXCLUDED: their normalized normal's
+    gradient is ~rsqrt(eps) ≈ 1e10, which exploded the refine stage within
+    ~10 steps on a QEM-simplified real mesh (round-5 pipeline run — verts →
+    inf → nan while the render stayed finite because nan gaussians cull).
+    The mask is a stop-gradient indicator, so slivers contribute nothing to
+    the loss OR its gradient."""
+    v0 = verts[..., faces[:, 0], :]
+    v1 = verts[..., faces[:, 1], :]
+    v2 = verts[..., faces[:, 2], :]
+    n_raw = jnp.cross(v1 - v0, v2 - v0)
+    a2 = (n_raw * n_raw).sum(-1)  # (2·area)²
+    scale2 = jnp.maximum(((v1 - v0) ** 2).sum(-1) * ((v2 - v0) ** 2).sum(-1),
+                         1e-30)
+    ok = jax.lax.stop_gradient(a2 > 1e-8 * scale2)  # relative sliver test
+    n = n_raw * jax.lax.rsqrt(a2[..., None] + 1e-20)
     n0 = n[..., face_pairs[:, 0], :]
     n1 = n[..., face_pairs[:, 1], :]
     cos = (n0 * n1).sum(-1)
-    return (1.0 - cos).mean()
+    w = (ok[..., face_pairs[:, 0]] & ok[..., face_pairs[:, 1]]).astype(
+        verts.dtype)
+    return ((1.0 - cos) * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
 def laplacian_smoothing_loss(verts: jnp.ndarray, ring: Tuple[jnp.ndarray, jnp.ndarray]) -> jnp.ndarray:
     """Uniform Laplacian magnitude, pytorch3d ``mesh_laplacian_smoothing``
-    (method='uniform') equivalent: mean_i || (1/deg_i) Σ_j v_j - v_i ||."""
+    (method='uniform') equivalent: mean_i || (1/deg_i) Σ_j v_j - v_i ||.
+    sqrt(·+eps) instead of jnp.linalg.norm: the norm's gradient is 0/0 = nan
+    at an exactly-zero Laplacian (a vertex at its ring centroid)."""
     idx, mask = ring
     nb = verts[..., idx, :]  # (..., V, K, 3)
     m = mask[..., None].astype(verts.dtype)
     deg = jnp.maximum(mask.sum(-1), 1)[..., None].astype(verts.dtype)
     lap = (nb * m).sum(-2) / deg - verts
-    return jnp.linalg.norm(lap, axis=-1).mean()
+    return jnp.sqrt((lap * lap).sum(-1) + 1e-20).mean()
 
 
 def arap_energy(
