@@ -208,13 +208,30 @@ class StableZero123Guidance:
         self.cfg = cfg
         self.modules = modules or Zero123Modules(cfg)
 
-    def prepare_embeddings(self, params, images: jnp.ndarray):
+    def prepare_embeddings(self, params, images: jnp.ndarray,
+                           chunk: int = 4):
         """images (F,H,W,3) in [0,1] (white-composited) -> bank dict with
         c_crossattn (F, ctx) and c_concat (F, L, L, 4)
-        (prepare_embeddings_video, temporal_*.py:197-214)."""
+        (prepare_embeddings_video, temporal_*.py:197-214).
+
+        CHUNKED over frames: encoding all 32 flagship frames in one eager
+        VAE batch spiked HBM past the worker's limit next to the resident
+        UNet params (round-5 pipeline: dynamic-stage startup crashed /
+        hung the tunneled worker right after weight load).  ``chunk`` caps
+        the encoder batch; 4 matches the per-step SDS batch the VAE is
+        compiled for anyway.  (Reference behavior unchanged — it also
+        precomputes per-frame embeddings once, temporal_*.py:197-214.)"""
+        import numpy as np
+
+        F = images.shape[0]
+        cc, cl = [], []
+        for i in range(0, F, chunk):
+            part = images[i:i + chunk]
+            cc.append(np.asarray(self.modules.clip_embed(params, part)))
+            cl.append(np.asarray(self.modules.encode_cond_latent(params, part)))
         return {
-            "c_crossattn": self.modules.clip_embed(params, images),
-            "c_concat": self.modules.encode_cond_latent(params, images),
+            "c_crossattn": jnp.asarray(np.concatenate(cc, 0)),
+            "c_concat": jnp.asarray(np.concatenate(cl, 0)),
         }
 
     def sds_loss(
