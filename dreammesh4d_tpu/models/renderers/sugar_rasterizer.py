@@ -108,49 +108,60 @@ def render_batch(
     cfg: RasterizerConfig,
     timed_attrs: Optional[tuple] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """vmap over views.  If ``timed_attrs`` is given (per-view means/quats/
-    normals with a leading B dim, the dynamic-stage path,
-    diff_sugar_rasterizer_temporal.py:149-178), those are mapped alongside the
-    cameras; otherwise the static attributes broadcast.  ``bg_color`` may be
-    (3,) shared or (B, 3) per-view (merged substep batches with different
-    backgrounds)."""
-    bg_axis = 0 if bg_color.ndim == 2 else None
+    """SEQUENTIAL map over views (lax.map + per-view rematerialization).  If
+    ``timed_attrs`` is given (per-view means/quats/normals with a leading B
+    dim, the dynamic-stage path, diff_sugar_rasterizer_temporal.py:149-178),
+    those are mapped alongside the cameras; otherwise the static attributes
+    broadcast.  ``bg_color`` may be (3,) shared or (B, 3) per-view.
+
+    Why sequential + checkpoint instead of vmap: a vmapped rasterizer
+    materializes EVERY view's kernel buffers simultaneously (the streamed
+    (T, cap, ROW) row dumps and binning arrays are saved for the backward of
+    all B views at once).  At the flagship dynamic stage (4 frames x
+    {ref, rand} x {rgb, normal} passes @512²) that crashed the v5e worker
+    with an HBM OOM (round-5 pipeline, deterministic).  lax.map runs views
+    one at a time and jax.checkpoint recomputes each view's forward in the
+    backward, so peak memory is ONE view's buffers; the TPU executes a
+    vmapped grid sequentially anyway, so wall-clock is unchanged."""
+    B = cameras.world_view.shape[0]
+    bg_b = bg_color if bg_color.ndim == 2 else jnp.broadcast_to(
+        bg_color, (B,) + bg_color.shape)
 
     if timed_attrs is None:
-        def one(wv, fp, cc, bg):
+        def one(args):
+            wv, fp, cc, bg = args
             return render_view(
                 means3d, quats, scales, opacities, sh, sh_degree, gs_normals,
                 GSCameraInfo(wv, fp, cc), bg, cfg,
             )
 
-        return jax.vmap(one, in_axes=(0, 0, 0, bg_axis))(
-            cameras.world_view, cameras.full_proj, cameras.camera_center, bg_color
-        )
+        return jax.lax.map(jax.checkpoint(one), (
+            cameras.world_view, cameras.full_proj, cameras.camera_center, bg_b))
 
     t_means, t_quats, t_scales, t_normals = timed_attrs
 
     if t_normals is None:
-        def one_timed_nonorm(wv, fp, cc, bg, m, q, s):
+        def one_timed_nonorm(args):
+            wv, fp, cc, bg, m, q, s = args
             return render_view(
                 m, q, s, opacities, sh, sh_degree, None,
                 GSCameraInfo(wv, fp, cc), bg, cfg,
             )
 
-        return jax.vmap(one_timed_nonorm, in_axes=(0, 0, 0, bg_axis, 0, 0, 0))(
-            cameras.world_view, cameras.full_proj, cameras.camera_center, bg_color,
-            t_means, t_quats, t_scales,
-        )
+        return jax.lax.map(jax.checkpoint(one_timed_nonorm), (
+            cameras.world_view, cameras.full_proj, cameras.camera_center, bg_b,
+            t_means, t_quats, t_scales))
 
-    def one_timed(wv, fp, cc, bg, m, q, s, n):
+    def one_timed(args):
+        wv, fp, cc, bg, m, q, s, n = args
         return render_view(
             m, q, s, opacities, sh, sh_degree, n,
             GSCameraInfo(wv, fp, cc), bg, cfg,
         )
 
-    return jax.vmap(one_timed, in_axes=(0, 0, 0, bg_axis, 0, 0, 0, 0))(
-        cameras.world_view, cameras.full_proj, cameras.camera_center, bg_color,
-        t_means, t_quats, t_scales, t_normals,
-    )
+    return jax.lax.map(jax.checkpoint(one_timed), (
+        cameras.world_view, cameras.full_proj, cameras.camera_center, bg_b,
+        t_means, t_quats, t_scales, t_normals))
 
 
 def depth_to_normal(
