@@ -108,21 +108,24 @@ def render_batch(
     cfg: RasterizerConfig,
     timed_attrs: Optional[tuple] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """SEQUENTIAL map over views (lax.map + per-view rematerialization).  If
+    """SEQUENTIAL unrolled map over views (per-view rematerialization).  If
     ``timed_attrs`` is given (per-view means/quats/normals with a leading B
     dim, the dynamic-stage path, diff_sugar_rasterizer_temporal.py:149-178),
     those are mapped alongside the cameras; otherwise the static attributes
     broadcast.  ``bg_color`` may be (3,) shared or (B, 3) per-view.
 
-    Why sequential + checkpoint instead of vmap: a vmapped rasterizer
+    Why unrolled + checkpoint instead of vmap: a vmapped rasterizer
     materializes EVERY view's kernel buffers simultaneously (the streamed
     (T, cap, ROW) row dumps and binning arrays are saved for the backward of
     all B views at once).  At the flagship dynamic stage (4 frames x
     {ref, rand} x {rgb, normal} passes @512²) that crashed the v5e worker
-    with an HBM OOM (round-5 pipeline, deterministic).  lax.map runs views
-    one at a time and jax.checkpoint recomputes each view's forward in the
+    with an HBM OOM (round-5 pipeline, deterministic).  An unrolled python
+    loop with jax.checkpoint per view recomputes each view's forward in the
     backward, so peak memory is ONE view's buffers; the TPU executes a
-    vmapped grid sequentially anyway, so wall-clock is unchanged."""
+    vmapped grid sequentially anyway, so wall-clock is unchanged.  (A
+    lax.map-of-checkpoint variant had a pathological >35-min remote compile
+    — scan-of-remat over the custom-VJP Pallas calls; the unrolled form
+    compiles like the old vmap.)"""
     B = cameras.world_view.shape[0]
     bg_b = bg_color if bg_color.ndim == 2 else jnp.broadcast_to(
         bg_color, (B,) + bg_color.shape)
@@ -135,8 +138,10 @@ def render_batch(
                 GSCameraInfo(wv, fp, cc), bg, cfg,
             )
 
-        return jax.lax.map(jax.checkpoint(one), (
-            cameras.world_view, cameras.full_proj, cameras.camera_center, bg_b))
+        one_ck = jax.checkpoint(one)
+        outs = [one_ck((cameras.world_view[i], cameras.full_proj[i],
+                        cameras.camera_center[i], bg_b[i])) for i in range(B)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *outs)
 
     t_means, t_quats, t_scales, t_normals = timed_attrs
 
@@ -148,9 +153,11 @@ def render_batch(
                 GSCameraInfo(wv, fp, cc), bg, cfg,
             )
 
-        return jax.lax.map(jax.checkpoint(one_timed_nonorm), (
-            cameras.world_view, cameras.full_proj, cameras.camera_center, bg_b,
-            t_means, t_quats, t_scales))
+        one_ck = jax.checkpoint(one_timed_nonorm)
+        outs = [one_ck((cameras.world_view[i], cameras.full_proj[i],
+                        cameras.camera_center[i], bg_b[i],
+                        t_means[i], t_quats[i], t_scales[i])) for i in range(B)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *outs)
 
     def one_timed(args):
         wv, fp, cc, bg, m, q, s, n = args
@@ -159,9 +166,12 @@ def render_batch(
             GSCameraInfo(wv, fp, cc), bg, cfg,
         )
 
-    return jax.lax.map(jax.checkpoint(one_timed), (
-        cameras.world_view, cameras.full_proj, cameras.camera_center, bg_b,
-        t_means, t_quats, t_scales, t_normals))
+    one_ck = jax.checkpoint(one_timed)
+    outs = [one_ck((cameras.world_view[i], cameras.full_proj[i],
+                    cameras.camera_center[i], bg_b[i],
+                    t_means[i], t_quats[i], t_scales[i], t_normals[i]))
+            for i in range(B)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *outs)
 
 
 def depth_to_normal(
