@@ -108,24 +108,22 @@ def render_batch(
     cfg: RasterizerConfig,
     timed_attrs: Optional[tuple] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """SEQUENTIAL unrolled map over views (per-view rematerialization).  If
+    """Per-view render loop (unrolled; XLA runs views sequentially).  If
     ``timed_attrs`` is given (per-view means/quats/normals with a leading B
     dim, the dynamic-stage path, diff_sugar_rasterizer_temporal.py:149-178),
     those are mapped alongside the cameras; otherwise the static attributes
     broadcast.  ``bg_color`` may be (3,) shared or (B, 3) per-view.
 
-    Why unrolled + checkpoint instead of vmap: a vmapped rasterizer
-    materializes EVERY view's kernel buffers simultaneously (the streamed
-    (T, cap, ROW) row dumps and binning arrays are saved for the backward of
-    all B views at once).  At the flagship dynamic stage (4 frames x
-    {ref, rand} x {rgb, normal} passes @512²) that crashed the v5e worker
-    with an HBM OOM (round-5 pipeline, deterministic).  An unrolled python
-    loop with jax.checkpoint per view recomputes each view's forward in the
-    backward, so peak memory is ONE view's buffers; the TPU executes a
-    vmapped grid sequentially anyway, so wall-clock is unchanged.  (A
-    lax.map-of-checkpoint variant had a pathological >35-min remote compile
-    — scan-of-remat over the custom-VJP Pallas calls; the unrolled form
-    compiles like the old vmap.)"""
+    Memory note (round-5 pipeline): a batched rasterizer saves EVERY view's
+    kernel buffers for the backward at once; with ``stream_rows`` on, the
+    streamed (T, cap, ROW) row dumps dominate and the flagship dynamic stage
+    (4 frames x ref/rand x rgb/normal passes @512²) OOM-crashed the v5e
+    worker.  The fix is in the CONFIG, not here: the dynamic stage runs
+    ``stream_rows: false`` (the backward re-reads the tiny 30k-row VMEM
+    table instead of saving per-view streams).  Remat-based alternatives
+    (lax.map-of-checkpoint, unrolled checkpoint) were tried and REJECTED:
+    both blow up the remote compile (scan-of-remat / 48 rasterizer-kernel
+    instances; >35-min compiles that eventually kill the compile service)."""
     B = cameras.world_view.shape[0]
     bg_b = bg_color if bg_color.ndim == 2 else jnp.broadcast_to(
         bg_color, (B,) + bg_color.shape)
@@ -138,9 +136,8 @@ def render_batch(
                 GSCameraInfo(wv, fp, cc), bg, cfg,
             )
 
-        one_ck = jax.checkpoint(one)
-        outs = [one_ck((cameras.world_view[i], cameras.full_proj[i],
-                        cameras.camera_center[i], bg_b[i])) for i in range(B)]
+        outs = [one((cameras.world_view[i], cameras.full_proj[i],
+                     cameras.camera_center[i], bg_b[i])) for i in range(B)]
         return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *outs)
 
     t_means, t_quats, t_scales, t_normals = timed_attrs
@@ -153,10 +150,10 @@ def render_batch(
                 GSCameraInfo(wv, fp, cc), bg, cfg,
             )
 
-        one_ck = jax.checkpoint(one_timed_nonorm)
-        outs = [one_ck((cameras.world_view[i], cameras.full_proj[i],
-                        cameras.camera_center[i], bg_b[i],
-                        t_means[i], t_quats[i], t_scales[i])) for i in range(B)]
+        outs = [one_timed_nonorm((cameras.world_view[i], cameras.full_proj[i],
+                                  cameras.camera_center[i], bg_b[i],
+                                  t_means[i], t_quats[i], t_scales[i]))
+                for i in range(B)]
         return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *outs)
 
     def one_timed(args):
@@ -166,10 +163,9 @@ def render_batch(
             GSCameraInfo(wv, fp, cc), bg, cfg,
         )
 
-    one_ck = jax.checkpoint(one_timed)
-    outs = [one_ck((cameras.world_view[i], cameras.full_proj[i],
-                    cameras.camera_center[i], bg_b[i],
-                    t_means[i], t_quats[i], t_scales[i], t_normals[i]))
+    outs = [one_timed((cameras.world_view[i], cameras.full_proj[i],
+                       cameras.camera_center[i], bg_b[i],
+                       t_means[i], t_quats[i], t_scales[i], t_normals[i]))
             for i in range(B)]
     return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *outs)
 
